@@ -1,0 +1,119 @@
+"""Stats + selector tests: segmented stats match per-chunk oracles;
+the selector picks the natural winner per data regime and its size
+estimates match actual encoded sizes for the exactly-estimated codecs
+(SURVEY.md §7.1 step 3)."""
+
+import numpy as np
+import pytest
+
+from tokseq.codecs import get_codec, packed_size
+from tokseq.selector import CODEC_NAMES, select
+from tokseq.stats import compute_chunk_stats
+
+
+def make_batch(chunks):
+    values = np.concatenate([np.asarray(c, np.int64) for c in chunks]) if chunks else np.zeros(0, np.int64)
+    offsets = np.concatenate(([0], np.cumsum([len(c) for c in chunks]))).astype(np.int64)
+    return values, offsets
+
+
+def test_stats_match_per_chunk_oracle():
+    rng = np.random.default_rng(42)
+    chunks = [
+        rng.integers(0, 4, 100),
+        np.zeros(0, np.int64),
+        np.full(50, 7),
+        rng.integers(10**6, 10**6 + 500, 333),
+        np.repeat(rng.integers(0, 9, 40), rng.integers(1, 20, 40)),
+        np.zeros(0, np.int64),
+        np.array([2**31 - 1]),
+    ]
+    st = compute_chunk_stats(*make_batch(chunks))
+    for i, c in enumerate(chunks):
+        c = np.asarray(c, np.int64)
+        assert st.n[i] == len(c)
+        if len(c) == 0:
+            assert st.n_runs[i] == 0 and st.card[i] == 0
+            continue
+        assert st.vmin[i] == c.min() and st.vmax[i] == c.max()
+        runs = 1 + int(np.count_nonzero(c[1:] != c[:-1]))
+        assert st.n_runs[i] == runs
+        assert st.card[i] == len(np.unique(c))
+        # max run oracle
+        change = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
+        lens = np.diff(np.append(change, len(c)))
+        assert st.max_run[i] == lens.max()
+        # bit-length histogram sums to n
+        assert st.bl_hist[i].sum() == len(c)
+
+
+def test_selector_picks_natural_winner():
+    rng = np.random.default_rng(42)
+    chunks = [
+        rng.integers(0, 4, 4096),                         # -> bitpack (w=2)
+        10**6 + rng.integers(0, 500, 4096),               # -> for
+        np.repeat(rng.integers(0, 256, 128), 32),         # -> rle
+        rng.integers(0, 1000, 30)[rng.integers(0, 30, 4096)],  # -> dict
+    ]
+    # pfor: narrow base + rare large exceptions
+    v = 10**6 + rng.integers(0, 16, 4096)
+    v[rng.choice(4096, 8, replace=False)] = rng.integers(0, 1 << 30, 8)
+    chunks.append(v)
+
+    st = compute_chunk_stats(*make_batch(chunks))
+    sel = select(st)
+    names = sel.names()
+    assert names[0] == "bitpack"
+    assert names[1] in ("for", "pfor")
+    assert names[2] == "rle"
+    assert names[3] == "dict"
+    assert names[4] == "pfor"
+
+
+def test_estimates_exact_for_exact_codecs():
+    """bitpack/for/rle/dict estimates == actual payload size."""
+    rng = np.random.default_rng(7)
+    chunks = [
+        rng.integers(0, 4, 1000),
+        10**6 + rng.integers(0, 500, 1000),
+        np.repeat(rng.integers(0, 256, 40), 25),
+        rng.integers(0, 1000, 25)[rng.integers(0, 25, 1000)],
+        np.zeros(0, np.int64),
+        np.full(1, 5),
+    ]
+    from tokseq.selector import estimate_sizes
+
+    st = compute_chunk_stats(*make_batch(chunks))
+    sizes, _ = estimate_sizes(st)
+    for i, c in enumerate(chunks):
+        c = np.asarray(c, np.int64)
+        for j, name in enumerate(CODEC_NAMES):
+            if name == "pfor":
+                continue  # estimate is an upper bound, checked below
+            enc = get_codec(name).encode(c)
+            assert sizes[j, i] == len(enc.payload), (name, i)
+
+
+def test_pfor_estimate_is_upper_bound():
+    rng = np.random.default_rng(9)
+    v = 10**6 + rng.integers(0, 16, 4096)
+    v[rng.choice(4096, 8, replace=False)] = rng.integers(0, 1 << 30, 8)
+    st = compute_chunk_stats(*make_batch([v]))
+    from tokseq.selector import estimate_sizes
+
+    sizes, pfor_wb = estimate_sizes(st)
+    enc = get_codec("pfor").encode(v, base_width=int(pfor_wb[0]))
+    assert len(enc.payload) <= sizes[CODEC_NAMES.index("pfor"), 0]
+
+
+def test_selected_size_never_exceeds_floor():
+    rng = np.random.default_rng(13)
+    chunks = [rng.integers(0, 1 << int(w), int(n)).astype(np.int64)
+              for w in rng.integers(1, 32, 30)
+              for n in rng.integers(1, 5000, 2)]
+    st = compute_chunk_stats(*make_batch(chunks))
+    sel = select(st)
+    floors = np.array([packed_size(len(c), max(1, int(np.max(c, initial=0)).bit_length()))
+                       for c in chunks])
+    assert (sel.est_bytes <= np.maximum(floors, sel.floor_bytes)).all()
+    assert (sel.floor_bytes == floors).all()

@@ -1,0 +1,85 @@
+"""Bit-packing kernel: n unsigned values at w bits each, little-endian
+field order within the byte stream.
+
+Semantics replicate the reference's pack/unpack pair generalized to
+arbitrary widths 1..64:
+  - field i occupies bits [i*w, (i+1)*w) of the stream, LSB-first
+    within each byte (reference: ``pack_kmer_lossy`` fold order,
+    /root/reference/src/packed_seq.rs:217-232, and the byte layout of
+    ``PackedSeqVecBase<B>``, /root/reference/src/packed_seq.rs:106-148).
+  - the tail byte is zero-padded (reference scalar tail,
+    /root/reference/src/packed_seq.rs:1343-1356).
+  - packed size is exactly ceil(n*w/8) bytes — the "reference floor"
+    (/root/reference/src/packed_seq.rs:152-168); no 48-byte padding is
+    carried (``into_raw`` strips it, :1118-1121) because numpy kernels
+    are bounds-safe.
+
+Everything is whole-array numpy; no per-element Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["pack_bits_le", "unpack_bits_le", "bit_length", "packed_size"]
+
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+
+def bit_length(values: np.ndarray) -> np.ndarray:
+    """Element-wise bit length of non-negative ints (0 -> 0).
+
+    Exact (no float log2): searchsorted over powers of two.
+    """
+    v = np.asarray(values).astype(np.uint64, copy=False)
+    return np.searchsorted(_POW2, v, side="right").astype(np.int64)
+
+
+def packed_size(n: int, width: int) -> int:
+    """ceil(n*w/8) bytes — the reference bitpack floor."""
+    return (int(n) * int(width) + 7) // 8
+
+
+def pack_bits_le(values: np.ndarray, width: int) -> bytes:
+    """Pack ``values`` (each in [0, 2**width)) at ``width`` bits, LE field
+    order. Returns exactly ``packed_size(n, width)`` bytes."""
+    n = len(values)
+    if n == 0 or width == 0:
+        return b""
+    if not 1 <= width <= 64:
+        raise ValueError(f"width must be in 1..64, got {width}")
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if width == 8:
+        return v.astype(np.uint8).tobytes()
+    if width == 16:
+        return v.astype("<u2").tobytes()
+    if width == 32:
+        return v.astype("<u4").tobytes()
+    if width == 64:
+        return v.astype("<u8").tobytes()
+    # generic path: expand to a (n, w) LSB-first bit matrix, pack LE.
+    bits = (
+        (v[:, None] >> np.arange(width, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def unpack_bits_le(buf: bytes, width: int, n: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits_le`; returns uint64 array of length n."""
+    if n == 0 or width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8, count=packed_size(n, width))
+    if width == 8:
+        return raw.astype(np.uint64)
+    if width == 16:
+        return raw.view("<u2")[:n].astype(np.uint64)
+    if width == 32:
+        return raw.view("<u4")[:n].astype(np.uint64)
+    if width == 64:
+        return raw.view("<u8")[:n].astype(np.uint64)
+    bits = np.unpackbits(raw, count=n * width, bitorder="little")
+    # per-row re-pack into <=8 LE bytes, then view as u64
+    rows = np.packbits(bits.reshape(n, width), axis=1, bitorder="little")
+    out = np.zeros((n, 8), dtype=np.uint8)
+    out[:, : rows.shape[1]] = rows
+    return out.reshape(-1).view("<u8").astype(np.uint64, copy=False)

@@ -1,0 +1,240 @@
+"""The four 'light' codecs: bitpack, frame-of-reference, RLE, dictionary.
+
+All operate on non-negative int64 chunks, are whole-array numpy, and
+round-trip bit-identically. Payload layouts are little-endian with
+minimal fixed headers (documented per codec).
+
+Reference parity notes:
+  - ``bitpack`` is the direct generalization of the reference's
+    ``PackedSeqVecBase<B>`` 1/2/4/8-bit packing
+    (/root/reference/src/packed_seq.rs:106-148) to widths 1..32; its
+    payload for w in {1,2,4,8} is byte-identical to the reference's
+    buffer layout (golden tests in tests/test_codecs.py).
+  - ``for`` (frame-of-reference) subtracts the chunk min then bitpacks
+    — no analog in the reference (its alphabet is already 0-based),
+    but it *is* the reference's trick of narrowing the domain before
+    packing, applied at runtime.
+  - ``rle`` stores (run values, run lengths-1) as two bitpacked
+    streams.
+  - ``dict`` stores the sorted unique values (FoR-bitpacked) plus
+    per-position indices bitpacked at ceil(log2(card)).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .base import Codec, Encoded, as_int64, register
+from .bitpack import bit_length, pack_bits_le, packed_size, unpack_bits_le
+
+
+def _width_of(max_val: int) -> int:
+    """Effective width for values in [0, max_val]; min 1 so that n>0
+    chunks always occupy >=1 bit/value (matches reference: B>=1)."""
+    return max(1, int(max_val).bit_length())
+
+
+class BitpackCodec(Codec):
+    """payload = pack_bits_le(values, w); exactly the reference floor
+    ceil(n*w/8) bytes. bit_width=w, min_val=0."""
+
+    name = "bitpack"
+
+    def encode(self, values: np.ndarray) -> Encoded:
+        v = as_int64(values)
+        if len(v) == 0:
+            return Encoded(b"", 0, 0)
+        lo = int(v.min())
+        if lo < 0:
+            # reference pack_char panics on out-of-alphabet input
+            # (/root/reference/src/packed_seq.rs:196-207); tokens are
+            # non-negative by contract.
+            raise ValueError(f"bitpack requires non-negative values, got min={lo}")
+        w = _width_of(int(v.max()))
+        return Encoded(pack_bits_le(v, w), w, 0)
+
+    def decode(self, payload: bytes, n: int, bit_width: int, min_val: int) -> np.ndarray:
+        return unpack_bits_le(payload, bit_width, n).astype(np.int64)
+
+
+class ForCodec(Codec):
+    """Frame of reference: payload = pack_bits_le(values - min, w') with
+    w' = width(max-min). min lives in the min_val column; no header."""
+
+    name = "for"
+
+    def encode(self, values: np.ndarray) -> Encoded:
+        v = as_int64(values)
+        if len(v) == 0:
+            return Encoded(b"", 0, 0)
+        lo = int(v.min())
+        w = _width_of(int(v.max()) - lo)
+        return Encoded(pack_bits_le(v - lo, w), w, lo)
+
+    def decode(self, payload: bytes, n: int, bit_width: int, min_val: int) -> np.ndarray:
+        return unpack_bits_le(payload, bit_width, n).astype(np.int64) + min_val
+
+
+class RleCodec(Codec):
+    """Run-length encoding.
+
+    payload = header <u4 n_runs, u1 wv, u1 wl>
+            + pack_bits_le(run_values - min, wv)
+            + pack_bits_le(run_lengths - 1, wl)
+    min lives in min_val; bit_width reports wv (the value width used for
+    the floor comparison is still computed by the selector from the raw
+    chunk).
+    """
+
+    name = "rle"
+    _HDR = struct.Struct("<IBB")
+
+    def encode(self, values: np.ndarray) -> Encoded:
+        v = as_int64(values)
+        n = len(v)
+        if n == 0:
+            return Encoded(b"", 0, 0)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(v[1:], v[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        run_vals = v[starts]
+        run_lens = np.diff(np.append(starts, n))
+        lo = int(run_vals.min())
+        wv = _width_of(int(run_vals.max()) - lo)
+        wl = _width_of(int(run_lens.max()) - 1)
+        payload = (
+            self._HDR.pack(len(starts), wv, wl)
+            + pack_bits_le(run_vals - lo, wv)
+            + pack_bits_le(run_lens - 1, wl)
+        )
+        return Encoded(payload, wv, lo)
+
+    def decode(self, payload: bytes, n: int, bit_width: int, min_val: int) -> np.ndarray:
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        n_runs, wv, wl = self._HDR.unpack_from(payload, 0)
+        off = self._HDR.size
+        vb = packed_size(n_runs, wv)
+        run_vals = unpack_bits_le(payload[off : off + vb], wv, n_runs).astype(np.int64) + min_val
+        run_lens = unpack_bits_le(payload[off + vb :], wl, n_runs).astype(np.int64) + 1
+        return np.repeat(run_vals, run_lens)
+
+
+class DictCodec(Codec):
+    """Dictionary encoding.
+
+    payload = header <u4 card, u1 wd, u1 wi>
+            + pack_bits_le(sorted_uniques - min, wd)
+            + pack_bits_le(indices, wi)          (wi may be 0 if card==1)
+    """
+
+    name = "dict"
+    _HDR = struct.Struct("<IBB")
+
+    def encode(self, values: np.ndarray) -> Encoded:
+        v = as_int64(values)
+        if len(v) == 0:
+            return Encoded(b"", 0, 0)
+        uniq, idx = np.unique(v, return_inverse=True)
+        card = len(uniq)
+        lo = int(uniq[0])
+        wd = _width_of(int(uniq[-1]) - lo)
+        wi = int(card - 1).bit_length()  # 0 when card == 1
+        payload = (
+            self._HDR.pack(card, wd, wi)
+            + pack_bits_le(uniq - lo, wd)
+            + pack_bits_le(idx, wi)
+        )
+        return Encoded(payload, wd, lo)
+
+    def decode(self, payload: bytes, n: int, bit_width: int, min_val: int) -> np.ndarray:
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        card, wd, wi = self._HDR.unpack_from(payload, 0)
+        off = self._HDR.size
+        db = packed_size(card, wd)
+        uniq = unpack_bits_le(payload[off : off + db], wd, card).astype(np.int64) + min_val
+        if wi == 0:
+            return np.full(n, uniq[0], dtype=np.int64)
+        idx = unpack_bits_le(payload[off + db :], wi, n).astype(np.int64)
+        return uniq[idx]
+
+
+class PforCodec(Codec):
+    """Patched frame-of-reference with a sparse exception list — the
+    analog of the reference's Elias-Fano exception positions
+    (``PackedEfNSeqVec``, /root/reference/src/packed_ef_n_seq.rs:11-60):
+    a dense narrow base stream plus (positions, values) of the rare
+    out-of-range entries, positions delta-encoded.
+
+    payload = header <u4 n_exc, u1 wb, u1 wp, u1 we>
+            + pack_bits_le(clipped deltas, wb)      (exceptions stored as 0)
+            + pack_bits_le(diff(exc_positions), wp) (first position raw)
+            + pack_bits_le(exc_deltas, we)
+    """
+
+    name = "pfor"
+    _HDR = struct.Struct("<IBBB")
+
+    def encode(self, values: np.ndarray, base_width: int | None = None) -> Encoded:
+        v = as_int64(values)
+        n = len(v)
+        if n == 0:
+            return Encoded(b"", 0, 0)
+        lo = int(v.min())
+        d = v - lo
+        bl = bit_length(d)
+        wb = int(base_width) if base_width is not None else _best_pfor_width(bl)
+        exc = np.flatnonzero(bl > wb)
+        base = np.where(bl > wb, 0, d)
+        pos_delta = np.diff(exc, prepend=0) if len(exc) else exc
+        wp = _width_of(int(pos_delta.max())) if len(exc) else 0
+        exc_vals = d[exc]
+        we = _width_of(int(exc_vals.max())) if len(exc) else 0
+        payload = (
+            self._HDR.pack(len(exc), wb, wp, we)
+            + pack_bits_le(base, wb)
+            + pack_bits_le(pos_delta, wp)
+            + pack_bits_le(exc_vals, we)
+        )
+        return Encoded(payload, wb, lo)
+
+    def decode(self, payload: bytes, n: int, bit_width: int, min_val: int) -> np.ndarray:
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        n_exc, wb, wp, we = self._HDR.unpack_from(payload, 0)
+        off = self._HDR.size
+        bb = packed_size(n, wb)
+        out = unpack_bits_le(payload[off : off + bb], wb, n).astype(np.int64)
+        if n_exc:
+            pb = packed_size(n_exc, wp)
+            pos = np.cumsum(
+                unpack_bits_le(payload[off + bb : off + bb + pb], wp, n_exc).astype(np.int64)
+            )
+            exc_vals = unpack_bits_le(payload[off + bb + pb :], we, n_exc).astype(np.int64)
+            out[pos] = exc_vals
+        return out + min_val
+
+
+def _best_pfor_width(bit_lengths: np.ndarray) -> int:
+    """Pick the base width minimizing n*wb + n_exc(wb)*(wp+we) bits.
+
+    Vectorized over the bit-length histogram (the same cost shape a
+    cost-based physical rule would use)."""
+    n = len(bit_lengths)
+    hist = np.bincount(bit_lengths, minlength=65)
+    exc_at = n - np.cumsum(hist)  # exc_at[w] = #values with bl > w
+    widths = np.arange(65)
+    # exception cost approximated at 32 bits/exception (pos + value)
+    cost = n * widths + exc_at * 32
+    return max(1, int(np.argmin(cost)))
+
+
+BITPACK = register(BitpackCodec())
+FOR = register(ForCodec())
+RLE = register(RleCodec())
+DICT = register(DictCodec())
+PFOR = register(PforCodec())

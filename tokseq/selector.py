@@ -1,0 +1,112 @@
+"""Per-chunk codec auto-selection.
+
+Vectorized size estimation over a whole batch of chunks (one numpy
+expression per codec), then argmin per chunk. This is a cost-based
+physical decision implemented as plain array math — the role a
+Catalyst physical rule would play if Catalyst could see inside the
+encode kernel (SURVEY §4).
+
+Guarantees (north rule "<= reference compressed size"):
+  * ``bitpack`` is always a candidate and its payload is *exactly* the
+    reference floor ceil(n*w/8) — so the selected payload size is
+    always <= the floor.
+  * estimates for rle/dict/for are exact (derived from exact chunk
+    stats); pfor/fsst are estimates — after encoding, if the actual
+    payload exceeds the floor, the encoder falls back to bitpack
+    (see engine/encode.py), keeping the bound unconditional.
+
+FSST is try-encoded only when the cheap codecs leave >= ~1 byte/token
+on the table and the chunk is large enough to amortize its symbol
+table (SURVEY §7.2: keep it optional until its roundtrip suite is
+green — it is gated by ``enable_fsst``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .codecs.bitpack import bit_length
+from .stats import ChunkStats
+
+RLE_HDR = 6
+DICT_HDR = 6
+PFOR_HDR = 7
+
+CODEC_NAMES = ("bitpack", "for", "rle", "dict", "pfor")
+
+
+def _w(x: np.ndarray) -> np.ndarray:
+    """Effective field width: bit_length, floored at 1."""
+    return np.maximum(bit_length(x), 1)
+
+
+def _bytes(n, w):
+    return (n * w + 7) // 8
+
+
+@dataclass
+class Selection:
+    codec_idx: np.ndarray       # index into CODEC_NAMES per chunk
+    est_bytes: np.ndarray       # estimated payload size of the pick
+    floor_bytes: np.ndarray     # reference floor ceil(n*w/8)
+    pfor_width: np.ndarray      # best base width per chunk (for pfor)
+    fsst_candidate: np.ndarray  # bool: worth try-encoding fsst
+
+    def names(self) -> np.ndarray:
+        return np.array(CODEC_NAMES)[self.codec_idx]
+
+
+def estimate_sizes(st: ChunkStats) -> np.ndarray:
+    """(n_codecs, n_chunks) int64 matrix of estimated payload bytes."""
+    n = st.n
+    w_full = _w(st.vmax)                 # bitpack width
+    w_for = _w(st.vmax - st.vmin)        # FoR width
+    r = st.n_runs
+    w_rl = _w(np.maximum(st.max_run - 1, 0))
+    w_card = bit_length(np.maximum(st.card - 1, 0))  # may be 0 (constant)
+
+    bitpack = _bytes(n, w_full)
+    for_ = _bytes(n, w_for)
+    rle = RLE_HDR + _bytes(r, w_for) + _bytes(r, w_rl)
+    dict_ = DICT_HDR + _bytes(st.card, w_for) + _bytes(n, w_card)
+
+    # pfor: from the bit-length histogram, cost(wb) = n*wb bits + exceptions
+    # at ~ (bit_length(n) + w_for) bits each (position delta + value)
+    hist = st.bl_hist  # (nseg, 65)
+    exc_at = n[:, None] - np.cumsum(hist, axis=1)  # exc_at[:, wb]
+    widths = np.arange(65)[None, :]
+    per_exc_bits = (bit_length(np.maximum(n - 1, 0)) + w_for)[:, None]
+    cost_bits = n[:, None] * widths + exc_at * per_exc_bits
+    cost_bits[:, 0] = np.iinfo(np.int64).max // 2  # wb >= 1
+    pfor_wb = np.argmin(cost_bits, axis=1)
+    pfor = PFOR_HDR + (np.take_along_axis(cost_bits, pfor_wb[:, None], 1).ravel() + 7) // 8
+
+    sizes = np.stack([bitpack, for_, rle, dict_, pfor])
+    # empty chunks: zero payload whatever the codec; keep bitpack
+    sizes[:, n == 0] = 0
+    return sizes, pfor_wb
+
+
+def select(st: ChunkStats, enable_fsst: bool = True) -> Selection:
+    sizes, pfor_wb = estimate_sizes(st)
+    # prefer lower codec index on ties -> bitpack wins ties (simplest decode)
+    codec_idx = np.argmin(sizes, axis=0)
+    est = np.take_along_axis(sizes, codec_idx[None, :], 0).ravel()
+    floor = sizes[0]
+    # fsst candidacy: big-enough chunk, >= 9-bit values, and the best
+    # cheap codec still spends >= 1 byte/token
+    fsst_cand = (
+        enable_fsst
+        & (st.n >= 256)
+        & (_w(st.vmax - st.vmin) >= 9)
+        & (est * 1 >= st.n)
+    )
+    return Selection(
+        codec_idx=codec_idx,
+        est_bytes=est,
+        floor_bytes=floor,
+        pfor_width=pfor_wb,
+        fsst_candidate=np.asarray(fsst_cand, dtype=bool),
+    )

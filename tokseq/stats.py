@@ -1,0 +1,102 @@
+"""Vectorized per-chunk statistics over a batch of chunks.
+
+A batch of chunks arrives as Arrow list-array storage: one flat
+``values`` array plus ``offsets`` (len = n_chunks+1). All statistics
+are computed with segmented numpy ops (``ufunc.reduceat`` over the
+offset vector) — one pass over the batch, no per-chunk Python loop.
+This is the engine's analog of the reference computing its packing
+parameters per buffer while streaming 8 lanes at once
+(/root/reference/src/lib.rs:36-41).
+
+Stats produced (one array entry per chunk):
+    n         chunk length
+    vmin/vmax value range (0 for empty chunks)
+    n_runs    number of equal-value runs
+    max_run   longest run length
+    card      exact distinct count (segmented sort + change count)
+    bl_hist   (n_chunks, 65) histogram of bit_length(value - vmin) —
+              drives the patched-FoR cost model
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .codecs.bitpack import bit_length
+
+
+@dataclass
+class ChunkStats:
+    n: np.ndarray
+    vmin: np.ndarray
+    vmax: np.ndarray
+    n_runs: np.ndarray
+    max_run: np.ndarray
+    card: np.ndarray
+    bl_hist: np.ndarray  # (n_chunks, 65) int64
+
+    @property
+    def n_chunks(self) -> int:
+        return len(self.n)
+
+
+def _segmented_reduce(op, values, starts, empty, fill):
+    if len(values) == 0:
+        return np.full(len(starts), fill, dtype=np.int64)
+    safe = np.minimum(starts, len(values) - 1)
+    out = op.reduceat(values, safe).astype(np.int64)
+    out[empty] = fill
+    return out
+
+
+def compute_chunk_stats(values: np.ndarray, offsets: np.ndarray) -> ChunkStats:
+    values = np.ascontiguousarray(values, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    starts = offsets[:-1]
+    n = np.diff(offsets)
+    empty = n == 0
+    nseg = len(n)
+
+    vmin = _segmented_reduce(np.minimum, values, starts, empty, 0)
+    vmax = _segmented_reduce(np.maximum, values, starts, empty, 0)
+
+    # --- runs: force a change at every chunk start so runs never span chunks
+    m = len(values)
+    change = np.empty(m, dtype=bool)
+    if m:
+        change[0] = True
+        np.not_equal(values[1:], values[:-1], out=change[1:])
+        change[starts[~empty]] = True
+    run_starts = np.flatnonzero(change)
+    run_lens = np.diff(np.append(run_starts, m))
+    # which chunk each run belongs to
+    run_seg = np.searchsorted(starts, run_starts, side="right") - 1 if m else run_starts
+    n_runs = np.bincount(run_seg, minlength=nseg).astype(np.int64) if m else np.zeros(nseg, np.int64)
+    run_starts_per_seg = np.concatenate(([0], np.cumsum(n_runs)))[:-1]
+    max_run = _segmented_reduce(np.maximum, run_lens, run_starts_per_seg, n_runs == 0, 0)
+
+    # --- exact cardinality: segmented sort then count changes
+    if m:
+        seg_of = np.repeat(np.arange(nseg), n)
+        order = np.lexsort((values, seg_of))
+        sv = values[order]
+        ss = seg_of[order]
+        uniq_flag = np.empty(m, dtype=bool)
+        uniq_flag[0] = True
+        uniq_flag[1:] = (sv[1:] != sv[:-1]) | (ss[1:] != ss[:-1])
+        card = np.bincount(ss[uniq_flag], minlength=nseg).astype(np.int64)
+    else:
+        card = np.zeros(nseg, np.int64)
+
+    # --- bit-length histogram of (value - chunk_min)
+    bl_hist = np.zeros((nseg, 65), dtype=np.int64)
+    if m:
+        seg_of = np.repeat(np.arange(nseg), n)
+        deltas = values - vmin[seg_of]
+        bl = bit_length(deltas)
+        np.add.at(bl_hist, (seg_of, bl), 1)
+
+    return ChunkStats(n=n, vmin=vmin, vmax=vmax, n_runs=n_runs,
+                      max_run=max_run, card=card, bl_hist=bl_hist)

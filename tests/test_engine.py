@@ -1,0 +1,101 @@
+"""Spark pipeline tests: chunking properties, end-to-end roundtrip
+(the master invariant), size floor, manifests, resume (FIXTURES F5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tokseq.engine.chunk import chunk_docs
+from tokseq.engine.decode import decode_chunks, reassemble_docs
+from tokseq.engine.encode import encode_chunks
+from tokseq.engine.pipeline import EncodeJob
+from tokseq.engine.resume import pending_chunks, with_bucket
+from tokseq.engine.verify import count_mismatches
+
+CHUNK_W = 512  # small so boundary docs straddle chunk edges
+
+
+def test_chunk_docs_counts(spark, corpus_df):
+    chunks = chunk_docs(corpus_df, CHUNK_W)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.size("chunk_tokens")).alias("total"),
+        F.max("chunk_idx").alias("max_idx"),
+    )
+    joined = corpus_df.join(per_doc, "doc_id")
+    bad = joined.filter(
+        (F.col("total") != F.col("n_tok"))
+        | (F.col("n_chunks") != F.greatest(F.ceil(F.col("n_tok") / CHUNK_W), F.lit(1)))
+        | (F.col("max_idx") != F.col("n_chunks") - 1)
+    ).count()
+    assert bad == 0
+    # empty docs still produce exactly one (empty) chunk
+    empties = corpus_df.filter(F.col("n_tok") == 0).count()
+    assert empties > 0
+    empty_chunks = chunks.filter(F.size("chunk_tokens") == 0).count()
+    assert empty_chunks == empties
+
+
+def test_end_to_end_roundtrip(spark, corpus_df, tmp_path):
+    job = EncodeJob(spark, str(tmp_path / "out"), chunk_width=CHUNK_W, n_buckets=16)
+    res = job.run(corpus_df, verify=True)  # raises on any mismatch
+    assert res.n_chunks > 0
+    assert res.out_bytes <= res.floor_bytes  # north rule size bound
+    enc = job.encoded()
+    # every chunk individually respects the floor
+    assert enc.filter(F.col("out_bytes") > F.col("floor_bytes")).count() == 0
+    # multiple codecs actually selected on the mixed corpus
+    codecs = {r["codec"] for r in enc.select("codec").distinct().collect()}
+    assert {"bitpack", "rle", "dict"} <= codecs
+    # manifests exist and agree with the encoded table
+    man = spark.read.parquet(job.chunk_manifest_path)
+    assert man.count() == res.n_chunks
+    assert (
+        man.agg(F.sum("out_bytes")).collect()[0][0] == res.out_bytes
+    )
+    pm = spark.read.parquet(job.partition_manifest_path)
+    assert pm.agg(F.sum("n_chunks")).collect()[0][0] == res.n_chunks
+
+
+def test_saturation_and_width(spark, corpus_df, tmp_path):
+    """Max-value saturation docs (2^31-1) survive the pipeline."""
+    sat = corpus_df.filter(F.col("doc_id") == "boundary-sat-w31")
+    assert sat.count() == 1
+    chunks = chunk_docs(sat, CHUNK_W)
+    enc = encode_chunks(chunks)
+    back = reassemble_docs(decode_chunks(enc))
+    assert count_mismatches(sat, back) == 0
+
+
+def test_resume_pending_exact(spark, corpus_df, tmp_path):
+    """Drop a deterministic half of the manifest; pending must be
+    exactly the dropped chunks (FIXTURES F5 resume property)."""
+    out = str(tmp_path / "out")
+    job = EncodeJob(spark, out, chunk_width=CHUNK_W, n_buckets=16)
+    job.run(corpus_df)
+    man = spark.read.parquet(job.chunk_manifest_path)
+    kept = man.filter(F.xxhash64("doc_id", "chunk_idx") % 2 == 0).toPandas()
+    dropped = man.filter(F.xxhash64("doc_id", "chunk_idx") % 2 != 0)
+    drop_keys = {(r.doc_id, r.chunk_idx) for r in dropped.select("doc_id", "chunk_idx").collect()}
+    total_chunks = man.count()
+    spark.createDataFrame(kept).write.mode("overwrite").parquet(job.chunk_manifest_path)
+
+    planned = with_bucket(chunk_docs(corpus_df, CHUNK_W), 16)
+    pending = pending_chunks(planned, spark.read.parquet(job.chunk_manifest_path), 16)
+    pend_keys = {(r.doc_id, r.chunk_idx) for r in pending.select("doc_id", "chunk_idx").collect()}
+    assert pend_keys == drop_keys
+
+    # a resumed run appends exactly the gap; the dropped chunks now
+    # exist twice in encoded/ (at-least-once), and the reader dedups on
+    # the deterministic chunk key — roundtrip must still be exact.
+    res = job.run(corpus_df, resume=True)
+    assert res.n_chunks == total_chunks + len(drop_keys)
+    assert job.verify_roundtrip(corpus_df) == 0
+
+
+def test_no_resume_means_full_reencode(spark, corpus_df, tmp_path):
+    out = str(tmp_path / "out2")
+    job = EncodeJob(spark, out, chunk_width=CHUNK_W, n_buckets=16)
+    r1 = job.run(corpus_df)
+    r2 = job.run(corpus_df, resume=True)  # manifest complete -> nothing pending
+    assert r2.n_chunks == r1.n_chunks  # table unchanged (append of zero rows)

@@ -1,0 +1,8 @@
+"""Spark pipeline: chunk → encode (mapInArrow) → manifest → resume → verify."""
+
+from .session import get_spark  # noqa: F401
+from .chunk import chunk_docs  # noqa: F401
+from .encode import encode_chunks, ENCODED_SCHEMA  # noqa: F401
+from .decode import decode_chunks, reassemble_docs  # noqa: F401
+from .verify import roundtrip_report  # noqa: F401
+from .pipeline import EncodeJob  # noqa: F401

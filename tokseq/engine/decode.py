@@ -1,0 +1,97 @@
+"""The decode operator: encoded rows → token chunks → reassembled docs.
+
+Decode mirrors the reference's streaming unpack
+(``par_iter_bp`` + ``collect``, /root/reference/src/packed_seq.rs:684-750,
+src/padded_it.rs:90-136): each chunk's payload is expanded back to its
+token array inside ``mapInArrow``; per-doc reassembly is the Spark-side
+``collect`` — an array_sort over (chunk_idx, tokens) structs so chunk
+order is restored regardless of shuffle order.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..codecs import get_codec
+
+DECODED_SCHEMA = "doc_id string, chunk_idx int, chunk_tokens array<int>"
+
+_DECODED_PA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("chunk_idx", pa.int32()),
+        ("chunk_tokens", pa.list_(pa.int32())),
+    ]
+)
+
+
+def decode_batch_kernel(
+    payloads: list[bytes],
+    codecs: list[str],
+    widths: np.ndarray,
+    mins: np.ndarray,
+    ns: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a batch of chunks -> (flat int32 values, int64 offsets)."""
+    outs = []
+    for i in range(len(payloads)):
+        codec = get_codec(codecs[i])
+        outs.append(
+            codec.decode(payloads[i], int(ns[i]), int(widths[i]), int(mins[i]))
+        )
+    if outs:
+        flat = np.concatenate(outs).astype(np.int32, copy=False)
+    else:
+        flat = np.zeros(0, np.int32)
+    offsets = np.concatenate(([0], np.cumsum(ns))).astype(np.int64)
+    return flat, offsets
+
+
+def _decode_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        payloads = batch.column("payload").to_pylist()
+        codecs = batch.column("codec").to_pylist()
+        widths = batch.column("bit_width").to_numpy(zero_copy_only=False)
+        mins = batch.column("min_val").to_numpy(zero_copy_only=False)
+        ns = batch.column("n_values").to_numpy(zero_copy_only=False)
+        flat, offsets = decode_batch_kernel(payloads, codecs, widths, mins, ns)
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("chunk_idx").cast(pa.int32()),
+                tokens,
+            ],
+            schema=_DECODED_PA_SCHEMA,
+        )
+
+
+def decode_chunks(encoded_df: DataFrame) -> DataFrame:
+    """Encoded DataFrame -> (doc_id, chunk_idx, chunk_tokens)."""
+    cols = ["doc_id", "chunk_idx", "codec", "bit_width", "n_values", "min_val", "payload"]
+    return encoded_df.select(*cols).mapInArrow(_decode_map, DECODED_SCHEMA)
+
+
+def reassemble_docs(decoded_df: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_tokens) -> (doc_id, tokens).
+
+    array_sort over structs orders by chunk_idx (first struct field),
+    so reassembly is shuffle-order-independent."""
+    return decoded_df.groupBy("doc_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_tokens"))),
+                lambda s: s.getField("chunk_tokens"),
+            )
+        ).alias("tokens")
+    )

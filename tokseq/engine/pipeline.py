@@ -1,0 +1,149 @@
+"""End-to-end encode job: scan → chunk → resume-filter → salted
+repartition → encode → write encoded table + manifests.
+
+Storage goes through a tiny shim: Parquet paths locally; the same
+DataFrames write to an Iceberg catalog table unchanged when one is
+configured (`spark.read.table` / `writeTo`) — there is no Iceberg
+runtime jar in this sandbox (SURVEY §7.0), so the shim defaults to
+Parquet.
+
+Layout under ``out_dir``:
+    encoded/             the encoded chunk table (parquet, partitioned by bucket)
+    manifest/chunks/     chunk-level lineage (resume source of truth)
+    manifest/partitions/ per-task metrics
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .chunk import DEFAULT_CHUNK_WIDTH, chunk_docs, repartition_chunks
+from .decode import decode_chunks, reassemble_docs
+from .encode import encode_chunks
+from .manifest import chunk_manifest, codec_summary, partition_manifest
+from .resume import DEFAULT_BUCKETS, pending_chunks, with_bucket
+from .verify import count_mismatches
+
+
+@dataclass
+class EncodeResult:
+    n_chunks: int
+    n_values: int
+    in_bytes: int
+    out_bytes: int
+    floor_bytes: int
+    wall_sec: float
+
+    @property
+    def tokens_per_sec(self) -> float:
+        return self.n_values / self.wall_sec if self.wall_sec else 0.0
+
+    @property
+    def bytes_per_token(self) -> float:
+        return self.out_bytes / self.n_values if self.n_values else 0.0
+
+
+class EncodeJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        chunk_width: int = DEFAULT_CHUNK_WIDTH,
+        n_buckets: int = DEFAULT_BUCKETS,
+        enable_fsst: bool = True,
+        num_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.chunk_width = chunk_width
+        self.n_buckets = n_buckets
+        self.enable_fsst = enable_fsst
+        self.num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+
+    # --- paths ---
+    @property
+    def encoded_path(self) -> str:
+        return os.path.join(self.out_dir, "encoded")
+
+    @property
+    def chunk_manifest_path(self) -> str:
+        return os.path.join(self.out_dir, "manifest", "chunks")
+
+    @property
+    def partition_manifest_path(self) -> str:
+        return os.path.join(self.out_dir, "manifest", "partitions")
+
+    def _read_manifest(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.chunk_manifest_path)
+        except Exception:
+            return None
+
+    # --- the job ---
+    def plan(self, docs: DataFrame, resume: bool = False) -> DataFrame:
+        """Chunk + bucket + (optionally) drop already-encoded chunks."""
+        chunks = with_bucket(chunk_docs(docs, self.chunk_width), self.n_buckets)
+        if resume:
+            chunks = pending_chunks(chunks, self._read_manifest(), self.n_buckets)
+        return chunks
+
+    def run(self, docs: DataFrame, resume: bool = False, verify: bool = False) -> EncodeResult:
+        t0 = time.time()
+        chunks = self.plan(docs, resume=resume)
+        chunks = repartition_chunks(chunks, self.num_partitions)
+        encoded = encode_chunks(chunks, self.enable_fsst)
+        # bucket must survive the encode kernel: recompute (deterministic)
+        encoded = with_bucket(encoded, self.n_buckets)
+
+        mode = "append" if resume else "overwrite"
+        encoded.write.mode(mode).partitionBy("bucket").parquet(self.encoded_path)
+
+        enc = self.spark.read.parquet(self.encoded_path)
+        chunk_manifest(enc).write.mode("overwrite").parquet(self.chunk_manifest_path)
+        partition_manifest(enc).write.mode("overwrite").parquet(
+            self.partition_manifest_path
+        )
+
+        totals = enc.agg(
+            F.count("*").alias("c"),
+            F.sum("n_values").alias("v"),
+            F.sum("in_bytes").alias("i"),
+            F.sum("out_bytes").alias("o"),
+            F.sum("floor_bytes").alias("f"),
+        ).collect()[0]
+        wall = time.time() - t0
+        result = EncodeResult(
+            n_chunks=totals["c"] or 0,
+            n_values=totals["v"] or 0,
+            in_bytes=totals["i"] or 0,
+            out_bytes=totals["o"] or 0,
+            floor_bytes=totals["f"] or 0,
+            wall_sec=wall,
+        )
+        if verify:
+            mism = self.verify_roundtrip(docs)
+            if mism:
+                raise AssertionError(f"roundtrip mismatches: {mism}")
+        return result
+
+    def encoded(self) -> DataFrame:
+        return self.spark.read.parquet(self.encoded_path)
+
+    def decode(self) -> DataFrame:
+        # resume appends are at-least-once: a chunk interrupted between
+        # data write and manifest write may exist twice. Chunk ids are
+        # deterministic and payloads idempotent, so readers dedup on the
+        # key (SURVEY §7.2 "exactly-once per chunk").
+        enc = self.encoded().dropDuplicates(["doc_id", "chunk_idx"])
+        return reassemble_docs(decode_chunks(enc))
+
+    def verify_roundtrip(self, docs: DataFrame) -> int:
+        return count_mismatches(docs.select("doc_id", "tokens"), self.decode())
+
+    def summary(self) -> DataFrame:
+        return codec_summary(self.encoded())

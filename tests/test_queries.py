@@ -1,0 +1,81 @@
+"""Mimic the driver's correctness gate: run each Spark query and its
+DuckDB oracle on sf0.01, compare row counts and order-insensitive
+values (columns sorted by name, rows sorted)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import tokseq.queries as Q
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if math.isnan(v):
+                    v = "nan"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(Q.ORACLES))
+def test_query_matches_oracle(spark, ddb, name):
+    sdf = Q.QUERIES[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(Q.ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
+    sn = normalize(srows, scols)
+    on = normalize(orows, ocols)
+    mismatches = [i for i, (a, b) in enumerate(zip(sn, on)) if a != b]
+    assert not mismatches, f"{name}: first mismatch {sn[mismatches[0]]} vs {on[mismatches[0]]}"
+
+
+def test_rows_only_queries_run(spark):
+    for name in ("engine_roundtrip", "engine_codec_summary"):
+        df = Q.QUERIES[name](spark, SF_DIR)
+        rows = df.collect()
+        assert len(rows) > 0, name
+        if name == "engine_roundtrip":
+            assert all(r["n_mismatch"] == 0 for r in rows)
+            assert all(r["tokens_in"] == r["tokens_out"] for r in rows)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

@@ -29,10 +29,16 @@ _POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
 def bit_length(values: np.ndarray) -> np.ndarray:
     """Element-wise bit length of non-negative ints (0 -> 0).
 
-    Exact (no float log2): searchsorted over powers of two.
+    Fast path: frexp exponent (exact for v < 2^53); falls back to an
+    exact searchsorted over powers of two for larger values.
     """
-    v = np.asarray(values).astype(np.uint64, copy=False)
-    return np.searchsorted(_POW2, v, side="right").astype(np.int64)
+    v = np.asarray(values)
+    if v.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    if v.size and int(v.max()) < (1 << 53):
+        return np.frexp(v.astype(np.float64))[1].astype(np.int64)
+    vv = v.astype(np.uint64, copy=False)
+    return np.searchsorted(_POW2, vv, side="right").astype(np.int64)
 
 
 def packed_size(n: int, width: int) -> int:

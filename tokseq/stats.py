@@ -70,33 +70,50 @@ def compute_chunk_stats(values: np.ndarray, offsets: np.ndarray) -> ChunkStats:
         np.not_equal(values[1:], values[:-1], out=change[1:])
         change[starts[~empty]] = True
     run_starts = np.flatnonzero(change)
-    run_lens = np.diff(np.append(run_starts, m))
+    if len(run_starts):
+        run_lens = np.empty(len(run_starts), dtype=np.int64)
+        run_lens[:-1] = run_starts[1:] - run_starts[:-1]
+        run_lens[-1] = m - run_starts[-1]
+    else:
+        run_lens = run_starts
     # which chunk each run belongs to
     run_seg = np.searchsorted(starts, run_starts, side="right") - 1 if m else run_starts
     n_runs = np.bincount(run_seg, minlength=nseg).astype(np.int64) if m else np.zeros(nseg, np.int64)
     run_starts_per_seg = np.concatenate(([0], np.cumsum(n_runs)))[:-1]
     max_run = _segmented_reduce(np.maximum, run_lens, run_starts_per_seg, n_runs == 0, 0)
 
-    # --- exact cardinality: segmented sort then count changes
+    # --- exact cardinality: one composite-key sort then count changes.
+    # composite (seg << 32 | delta) is safe because delta < 2^32 implies
+    # no cross-seg collision; fall back to lexsort for wider deltas.
     if m:
-        seg_of = np.repeat(np.arange(nseg), n)
-        order = np.lexsort((values, seg_of))
-        sv = values[order]
-        ss = seg_of[order]
-        uniq_flag = np.empty(m, dtype=bool)
-        uniq_flag[0] = True
-        uniq_flag[1:] = (sv[1:] != sv[:-1]) | (ss[1:] != ss[:-1])
-        card = np.bincount(ss[uniq_flag], minlength=nseg).astype(np.int64)
+        seg_of = np.repeat(np.arange(nseg, dtype=np.int64), n)
+        deltas = values - vmin[seg_of]
+        if int(deltas.max()) < (1 << 32) and nseg < (1 << 31):
+            key = np.sort((seg_of << 32) | deltas)
+            uniq_flag = np.empty(m, dtype=bool)
+            uniq_flag[0] = True
+            np.not_equal(key[1:], key[:-1], out=uniq_flag[1:])
+            card = np.bincount(
+                (key[uniq_flag] >> 32), minlength=nseg
+            ).astype(np.int64)
+        else:
+            order = np.lexsort((values, seg_of))
+            sv = values[order]
+            ss = seg_of[order]
+            uniq_flag = np.empty(m, dtype=bool)
+            uniq_flag[0] = True
+            uniq_flag[1:] = (sv[1:] != sv[:-1]) | (ss[1:] != ss[:-1])
+            card = np.bincount(ss[uniq_flag], minlength=nseg).astype(np.int64)
     else:
         card = np.zeros(nseg, np.int64)
 
-    # --- bit-length histogram of (value - chunk_min)
+    # --- bit-length histogram of (value - chunk_min), via flat bincount
     bl_hist = np.zeros((nseg, 65), dtype=np.int64)
     if m:
-        seg_of = np.repeat(np.arange(nseg), n)
-        deltas = values - vmin[seg_of]
         bl = bit_length(deltas)
-        np.add.at(bl_hist, (seg_of, bl), 1)
+        bl_hist = np.bincount(seg_of * 65 + bl, minlength=nseg * 65).reshape(
+            nseg, 65
+        ).astype(np.int64)
 
     return ChunkStats(n=n, vmin=vmin, vmax=vmax, n_runs=n_runs,
                       max_run=max_run, card=card, bl_hist=bl_hist)

@@ -1,0 +1,269 @@
+#!/usr/bin/env python
+"""Benchmark harness: encode throughput + two-parallelism scaling
+evidence + representative query timings.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <encode wall sec at local[CPUS]>,
+   "unit": "sec", "queries": {...per-step seconds...}, "sf": ...,
+   plus tokens/sec at both parallelism levels, scaling efficiency,
+   bytes/token, vs-floor ratio}
+
+Scaling evidence (BASELINE.json: ">=0.8 from N to 4N executors"): the
+same encode job runs at local[CPUS/4] and local[CPUS] on the identical
+corpus parquet; each level runs in its own subprocess (one JVM cannot
+host two masters). Efficiency = (thr_high / thr_low) / 4.
+
+The corpus is the deterministic synthetic token table (datagen.py,
+seed=42) sized by the sf of $SPARK_GRAFT_SF_DIR, cached in /tmp across
+runs; at bench scale it includes a 10^6-token giant doc (skew test).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SEED = 42
+GIANT_DOC = 1_000_000
+# scale 1.0 ~= 1.7M tokens; sf0.1 -> ~200M raw bytes of tokens
+SCALE_PER_SF = 1200.0  # scale = SCALE_PER_SF * sf
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.1
+
+
+def corpus_path(scale: float) -> str:
+    return f"/tmp/tokseq_bench/corpus_s{scale:g}_seed{SEED}.parquet"
+
+
+def ensure_corpus(scale: float) -> str:
+    path = corpus_path(scale)
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    from tokseq.datagen import write_corpus
+
+    tmp = path + ".tmp"
+    write_corpus(
+        tmp, scale=scale, seed=SEED, include_boundary=True,
+        giant_doc_tokens=GIANT_DOC, row_group_size=4096,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+# ----------------------------------------------------------------- child ---
+
+def run_child(cores: int, corpus: str, do_write: bool, out_json: str) -> None:
+    """Measure the encode job at local[cores]; write metrics to out_json."""
+    from pyspark.sql import functions as F
+
+    from tokseq.engine import EncodeJob, get_spark
+    from tokseq.engine.chunk import plan_chunks, repartition_chunks
+    from tokseq.engine.encode import encode_chunks
+
+    spark = get_spark(cores=cores, app_name=f"tokseq-bench-{cores}")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(corpus)
+
+    # warm-up: spin up + import-load all Python workers on a small slice
+    # so the timed run measures steady-state throughput (a long-lived
+    # cluster amortizes worker startup)
+    warm = repartition_chunks(plan_chunks(docs.limit(cores * 40), 4096), cores)
+    encode_chunks(warm).agg(F.count("*")).collect()
+
+    # --- encode throughput (compute-only: chunk -> shuffle -> encode -> agg)
+    t0 = time.time()
+    chunks = repartition_chunks(plan_chunks(docs, 4096), cores * 2)
+    enc = encode_chunks(chunks)
+    row = enc.agg(
+        F.sum("n_values").alias("v"), F.sum("out_bytes").alias("o"),
+        F.sum("floor_bytes").alias("f"), F.count("*").alias("c"),
+    ).collect()[0]
+    t_encode = time.time() - t0
+
+    metrics = {
+        "cores": cores,
+        "encode_sec": t_encode,
+        "tokens": int(row["v"]),
+        "out_bytes": int(row["o"]),
+        "floor_bytes": int(row["f"]),
+        "n_chunks": int(row["c"]),
+        "tokens_per_sec": row["v"] / t_encode,
+    }
+
+    if do_write:
+        out_dir = tempfile.mkdtemp(prefix="tokseq_bench_out_")
+        try:
+            job = EncodeJob(spark, out_dir, chunk_width=4096, n_buckets=64)
+            t0 = time.time()
+            job.run(docs)
+            metrics["encode_write_sec"] = time.time() - t0
+            t0 = time.time()
+            decoded = job.decode()
+            decoded.agg(F.sum(F.size("tokens"))).collect()
+            metrics["decode_sec"] = time.time() - t0
+            metrics["decode_tokens_per_sec"] = row["v"] / metrics["decode_sec"]
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    spark.stop()
+    with open(out_json, "w") as f:
+        json.dump(metrics, f)
+
+
+# ---------------------------------------------------------------- parent ---
+
+def run_level(cores: int, corpus: str, do_write: bool) -> dict:
+    out = tempfile.mktemp(suffix=".json")
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--child",
+        "--cores", str(cores), "--corpus", corpus, "--out-json", out,
+    ]
+    if do_write:
+        cmd.append("--write")
+    env = dict(os.environ)
+    subprocess.run(cmd, check=True, env=env,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(out) as f:
+        return json.load(f)
+
+
+def time_queries(sf_dir: str, cores: int) -> dict[str, float]:
+    from tokseq.engine import get_spark
+    from tokseq.queries import QUERIES
+
+    spark = get_spark(cores=cores, app_name="tokseq-bench-queries")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = [
+        "e3_kmer_pack", "rle_run_detect", "selector_costmodel",
+        "dedup_exact", "engine_roundtrip",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).collect()
+        out[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return out
+
+
+def write_report(path: str, payload: dict, lo: dict, hi: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(
+            f"""# BENCH — measured {time.strftime('%Y-%m-%d %H:%M:%S')}
+
+Corpus: deterministic synthetic token table (seed={SEED}, scale
+{payload['corpus_scale']:g}, {hi['tokens']:,} tokens, includes one
+{GIANT_DOC:,}-token doc for skew). Encode job: chunk(4096) ->
+repartition(doc_id, chunk_idx) -> mapInArrow encode -> aggregate.
+
+## Scaling (same job, same input, two parallelism levels)
+
+| level | cores | wall (s) | tokens/sec |
+|---|---|---|---|
+| N  | {lo['cores']} | {lo['encode_sec']:.2f} | {lo['tokens_per_sec']:,.0f} |
+| 4N | {hi['cores']} | {hi['encode_sec']:.2f} | {hi['tokens_per_sec']:,.0f} |
+
+**Scaling efficiency (thr_4N / thr_N) / 4 = {payload['scaling_efficiency']:.3f}**
+(BASELINE target: >= 0.8; sandbox proxy for N vs 4N executors per the
+round-1 brief — one machine, local[{lo['cores']}] vs local[{hi['cores']}]).
+
+## Compression
+
+| metric | value |
+|---|---|
+| bytes/token (encoded) | {payload['bytes_per_token']:.4f} |
+| vs reference bitpack floor ceil(n*w/8) | {payload['vs_floor']:.3f} |
+| raw int32 bytes in | {4*hi['tokens']:,} |
+| encoded bytes out | {hi['out_bytes']:,} |
+
+## End-to-end (local[{hi['cores']}])
+
+| step | seconds |
+|---|---|
+| encode (compute) | {hi['encode_sec']:.2f} |
+| encode + write encoded table + manifests | {hi.get('encode_write_sec', float('nan')):.2f} |
+| decode + reassemble (read back) | {hi.get('decode_sec', float('nan')):.2f} |
+
+## Query timings at {payload['sf_dir']}
+
+| query | seconds |
+|---|---|
+"""
+        )
+        for k, v in payload["queries"].items():
+            f.write(f"| {k} | {v} |\n")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--corpus", type=str, default=None)
+    ap.add_argument("--out-json", type=str, default=None)
+    ap.add_argument("--write", action="store_true")
+    ap.add_argument("--scale", type=float, default=None)
+    args = ap.parse_args()
+
+    if args.child:
+        run_child(args.cores, args.corpus, args.write, args.out_json)
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    scale = args.scale if args.scale is not None else SCALE_PER_SF * sf
+    lo_cores = max(2, cpus // 4)
+
+    corpus = ensure_corpus(scale)
+    lo = run_level(lo_cores, corpus, do_write=False)
+    hi = run_level(cpus, corpus, do_write=True)
+    eff = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) / (cpus / lo_cores)
+
+    queries = time_queries(sf_dir, cpus)
+    queries["encode_local%d" % lo_cores] = round(lo["encode_sec"], 3)
+    queries["encode_local%d" % cpus] = round(hi["encode_sec"], 3)
+    queries["encode_write_local%d" % cpus] = round(hi["encode_write_sec"], 3)
+    queries["decode_local%d" % cpus] = round(hi["decode_sec"], 3)
+
+    payload = {
+        "metric": "encode_wall_sec_local%d" % cpus,
+        "value": round(hi["encode_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "sf_dir": sf_dir,
+        "corpus_scale": scale,
+        "tokens": hi["tokens"],
+        "tokens_per_sec_lo": round(lo["tokens_per_sec"]),
+        "tokens_per_sec_hi": round(hi["tokens_per_sec"]),
+        "cores_lo": lo_cores,
+        "cores_hi": cpus,
+        "scaling_efficiency": round(eff, 3),
+        "bytes_per_token": round(hi["out_bytes"] / hi["tokens"], 4),
+        "vs_floor": round(hi["out_bytes"] / hi["floor_bytes"], 4),
+        "decode_tokens_per_sec": round(hi["decode_tokens_per_sec"]),
+    }
+    write_report(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md"),
+        payload, lo, hi,
+    )
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

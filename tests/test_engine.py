@@ -9,7 +9,7 @@ from tokseq.engine.chunk import chunk_docs
 from tokseq.engine.decode import decode_chunks, reassemble_docs
 from tokseq.engine.encode import encode_chunks
 from tokseq.engine.pipeline import EncodeJob
-from tokseq.engine.resume import pending_chunks, with_bucket
+from tokseq.engine.resume import pending_docs, with_bucket
 from tokseq.engine.verify import count_mismatches
 
 CHUNK_W = 512  # small so boundary docs straddle chunk edges
@@ -68,28 +68,42 @@ def test_saturation_and_width(spark, corpus_df, tmp_path):
 
 
 def test_resume_pending_exact(spark, corpus_df, tmp_path):
-    """Drop a deterministic half of the manifest; pending must be
-    exactly the dropped chunks (FIXTURES F5 resume property)."""
+    """Drop all manifest chunks of half the docs plus ONE chunk of a
+    multi-chunk doc; pending must be exactly those docs (FIXTURES F5
+    resume property, doc-level granularity)."""
     out = str(tmp_path / "out")
     job = EncodeJob(spark, out, chunk_width=CHUNK_W, n_buckets=16)
     job.run(corpus_df)
     man = spark.read.parquet(job.chunk_manifest_path)
-    kept = man.filter(F.xxhash64("doc_id", "chunk_idx") % 2 == 0).toPandas()
-    dropped = man.filter(F.xxhash64("doc_id", "chunk_idx") % 2 != 0)
-    drop_keys = {(r.doc_id, r.chunk_idx) for r in dropped.select("doc_id", "chunk_idx").collect()}
     total_chunks = man.count()
+
+    victim = F.xxhash64("doc_id") % 2 != 0
+    partial_doc = (
+        man.groupBy("doc_id").count().filter((F.col("count") >= 2) & ~victim)
+        .orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    )
+    kept = man.filter(
+        ~victim & ~((F.col("doc_id") == partial_doc) & (F.col("chunk_idx") == 0))
+    ).toPandas()
+    victim_docs = {r.doc_id for r in man.filter(victim).select("doc_id").distinct().collect()}
+    victim_docs.add(partial_doc)
+    expected_new = man.filter(F.col("doc_id").isin(list(victim_docs))).count()
     spark.createDataFrame(kept).write.mode("overwrite").parquet(job.chunk_manifest_path)
 
-    planned = with_bucket(chunk_docs(corpus_df, CHUNK_W), 16)
-    pending = pending_chunks(planned, spark.read.parquet(job.chunk_manifest_path), 16)
-    pend_keys = {(r.doc_id, r.chunk_idx) for r in pending.select("doc_id", "chunk_idx").collect()}
-    assert pend_keys == drop_keys
+    pending = pending_docs(
+        with_bucket(corpus_df, 16), spark.read.parquet(job.chunk_manifest_path),
+        CHUNK_W, 16,
+    )
+    pend = {r.doc_id for r in pending.select("doc_id").collect()}
+    assert pend == victim_docs
 
-    # a resumed run appends exactly the gap; the dropped chunks now
-    # exist twice in encoded/ (at-least-once), and the reader dedups on
-    # the deterministic chunk key — roundtrip must still be exact.
+    # a resumed run appends exactly the pending docs' chunks; dup rows
+    # (the partial doc's surviving chunks) are deduped by the reader —
+    # roundtrip must still be exact.
     res = job.run(corpus_df, resume=True)
-    assert res.n_chunks == total_chunks + len(drop_keys)
+    assert res.n_chunks == total_chunks  # manifest counts deduped chunks
+    enc_rows = spark.read.parquet(job.encoded_path).count()
+    assert enc_rows == total_chunks + expected_new
     assert job.verify_roundtrip(corpus_df) == 0
 
 

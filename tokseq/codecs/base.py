@@ -61,6 +61,15 @@ def all_codecs() -> Dict[str, Codec]:
 
 
 def as_int64(values) -> np.ndarray:
-    """Normalize a chunk to a contiguous int64 array (safe shift math at
-    w=31 per SURVEY §7.2 'max-value saturation')."""
-    return np.ascontiguousarray(values, dtype=np.int64)
+    """Normalize a chunk to a contiguous signed int array.
+
+    int32 input is kept as int32 (tokens live in [0, 2^31) so
+    frame-shift arithmetic cannot overflow it, and halving the working
+    width matters: the encode kernel is memory-bandwidth-bound at high
+    core counts). Anything else widens to int64; shift-heavy math
+    inside pack_bits_le upcasts as needed (SURVEY §7.2 'max-value
+    saturation')."""
+    v = np.ascontiguousarray(values)
+    if v.dtype == np.int32:
+        return v
+    return v.astype(np.int64, copy=False)

@@ -36,7 +36,7 @@ def bit_length(values: np.ndarray) -> np.ndarray:
     if v.size == 0:
         return np.zeros(0, dtype=np.int64)
     if v.size and int(v.max()) < (1 << 53):
-        return np.frexp(v.astype(np.float64))[1].astype(np.int64)
+        return np.frexp(v.astype(np.float64))[1]  # int32, exact
     vv = v.astype(np.uint64, copy=False)
     return np.searchsorted(_POW2, vv, side="right").astype(np.int64)
 
@@ -48,13 +48,18 @@ def packed_size(n: int, width: int) -> int:
 
 def pack_bits_le(values: np.ndarray, width: int) -> bytes:
     """Pack ``values`` (each in [0, 2**width)) at ``width`` bits, LE field
-    order. Returns exactly ``packed_size(n, width)`` bytes."""
+    order. Returns exactly ``packed_size(n, width)`` bytes.
+
+    Bandwidth-conscious: works in uint32 whenever width <= 32 (the
+    whole token domain) — the wide intermediate is the main memory
+    cost of the bit-matrix expansion."""
     n = len(values)
     if n == 0 or width == 0:
         return b""
     if not 1 <= width <= 64:
         raise ValueError(f"width must be in 1..64, got {width}")
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    work = np.uint32 if width <= 32 else np.uint64
+    v = np.ascontiguousarray(values, dtype=work)
     if width == 8:
         return v.astype(np.uint8).tobytes()
     if width == 16:
@@ -63,9 +68,23 @@ def pack_bits_le(values: np.ndarray, width: int) -> bytes:
         return v.astype("<u4").tobytes()
     if width == 64:
         return v.astype("<u8").tobytes()
+    if width in (1, 2, 4):
+        # strided OR-combine: g=8/w values per byte, no bit matrix.
+        # This is the numpy rendering of the reference's pext body
+        # (/root/reference/src/packed_seq.rs:1204-1222): g lanes
+        # shifted into place and OR-merged per output byte.
+        g = 8 // width
+        nbytes = (n + g - 1) // g
+        vb = v.astype(np.uint8)
+        if n % g:
+            vb = np.concatenate([vb, np.zeros(g - n % g, np.uint8)])
+        out = vb[0::g].copy()
+        for j in range(1, g):
+            out |= vb[j::g] << np.uint8(j * width)
+        return out[:nbytes].tobytes()
     # generic path: expand to a (n, w) LSB-first bit matrix, pack LE.
     bits = (
-        (v[:, None] >> np.arange(width, dtype=np.uint64)) & np.uint64(1)
+        (v[:, None] >> np.arange(width, dtype=work)) & work(1)
     ).astype(np.uint8)
     return np.packbits(bits.ravel(), bitorder="little").tobytes()
 

@@ -33,7 +33,7 @@ from .base import Codec, Encoded, as_int64, register
 _ESC = 255
 _MAX_SYMBOLS = 254
 _MIN_PAIR_COUNT = 8
-_ROUNDS = 3
+_ROUNDS = 2
 _HDR = struct.Struct("<BB")  # byte_width, n_symbols
 
 
@@ -78,21 +78,21 @@ def _learn_and_replace(stream: np.ndarray, budget: int):
     if m < 2 or budget <= 0:
         return stream, np.zeros((0, 2), dtype=np.int64)
     alpha = int(stream.max()) + 1
-    pair_ids = stream[:-1].astype(np.int64) * alpha + stream[1:]
+    pair_ids = stream[:-1].astype(np.int32) * np.int32(alpha) + stream[1:]
     counts = np.bincount(pair_ids)
     good = np.flatnonzero(counts >= _MIN_PAIR_COUNT)
     if len(good) == 0:
         return stream, np.zeros((0, 2), dtype=np.int64)
     top = good[np.argsort(counts[good], kind="stable")[::-1][:budget]]
-    pairmap = np.full(alpha * alpha, -1, dtype=np.int64)
-    new_ids = np.arange(len(top), dtype=np.int64)
+    pairmap = np.full(alpha * alpha, -1, dtype=np.int32)
+    new_ids = np.arange(len(top), dtype=np.int32)
     pairmap[top] = new_ids
     mapped = pairmap[pair_ids]
     sel = _greedy_select(mapped >= 0)
     if not sel.any():
         return stream, np.zeros((0, 2), dtype=np.int64)
     # next free symbol id must be global across rounds — caller rebases
-    out = stream.astype(np.int64, copy=True)
+    out = stream.astype(np.int32, copy=True)
     out[:-1][sel] = mapped[sel] + alpha  # temp ids alpha..alpha+k-1
     keep = np.ones(m, dtype=bool)
     keep[1:][sel] = False
@@ -112,7 +112,11 @@ class FsstCodec(Codec):
 
     name = "fsst"
 
-    def encode(self, values: np.ndarray) -> Encoded:
+    def encode(self, values: np.ndarray, budget_bytes: int | None = None):
+        """Encode; if ``budget_bytes`` is given and a cheap upper-bound
+        estimate says this chunk cannot come in under it, returns None
+        (the selector then keeps its cheaper codec — wasted full
+        encodes are the kernel's main cost on fsst-hostile data)."""
         v = as_int64(values)
         n = len(v)
         if n == 0:
@@ -122,7 +126,17 @@ class FsstCodec(Codec):
         hi = int(d.max())
         w = max(1, hi.bit_length())
         bw = _byte_width(hi)
-        stream = _to_bytes(d, bw).astype(np.int64)
+        stream = _to_bytes(d, bw).astype(np.int32)
+
+        if budget_bytes is not None and len(stream) >= 512:
+            pair_ids = stream[:-1] * np.int32(256) + stream[1:]
+            counts = np.bincount(pair_ids, minlength=0)
+            k = min(_MAX_SYMBOLS, len(counts))
+            top_sum = int(np.partition(counts, len(counts) - k)[-k:].sum())
+            saved_ub = min(top_sum, len(stream) // 2)
+            est_out = len(stream) - int(0.75 * saved_ub) + 3 * k // 4 + 4
+            if est_out >= budget_bytes:
+                return None
 
         # --- learn symbol table over up to _ROUNDS BPE rounds ---
         # expansions[i] = byte string for symbol id 256+i
@@ -149,7 +163,7 @@ class FsstCodec(Codec):
         used = np.unique(stream[stream >= 256]) if len(stream) else np.zeros(0, np.int64)
         remap = {int(s): 256 + i for i, s in enumerate(used)}
         if len(used):
-            lut = np.arange(256 + len(expansions), dtype=np.int64)
+            lut = np.arange(256 + len(expansions), dtype=np.int32)
             for old, new in remap.items():
                 lut[old] = new
             stream = lut[stream]
@@ -167,7 +181,7 @@ class FsstCodec(Codec):
 
         # --- emit ---
         is_dict = stream >= 256
-        lit_vals = np.where(is_dict, 0, stream).astype(np.int64)
+        lit_vals = np.where(is_dict, 0, stream)
         esc = (~is_dict) & needs_escape[lit_vals]
         lens = np.where(is_dict | ~esc, 1, 2)
         off = np.concatenate(([0], np.cumsum(lens)))

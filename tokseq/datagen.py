@@ -33,9 +33,13 @@ VOCAB_TEXT = 50257
 DEFAULT_SEED = 42
 
 
-def _zipf_tokens(rng: np.random.Generator, n: int, vocab: int, a: float = 1.2) -> np.ndarray:
-    t = rng.zipf(a, size=n) - 1
-    return np.minimum(t, vocab - 1).astype(np.int64)
+def _zipf_tokens(rng: np.random.Generator, n: int, vocab: int) -> np.ndarray:
+    """Zipf-like token ids via log-uniform ranks (p(r) ~ 1/r): frequent
+    small ids, long tail — the text-token regime. ~10x faster than
+    rng.zipf at bench scales."""
+    u = rng.random(n)
+    r = np.exp(u * np.log(vocab)).astype(np.int64) - 1
+    return np.minimum(r, vocab - 1)
 
 
 def _source_uniform2b(rng, n_docs):
@@ -195,9 +199,24 @@ def generate_corpus(
 
 def write_corpus(path: str, scale: float = 1.0, seed: int = DEFAULT_SEED,
                  include_boundary: bool = True, chunk_width: int = 4096,
-                 giant_doc_tokens: int = 0, row_group_size: int = 8192) -> str:
+                 giant_doc_tokens: int = 0, row_group_size: int = 4096,
+                 rows_per_file: int = 4096) -> str:
+    """Write the corpus as a DIRECTORY of part files (like any real
+    corpus landing zone) so Spark's scan fans out across cores even
+    locally."""
+    import os
+
     import pyarrow.parquet as pq
 
     table = generate_corpus(scale, seed, include_boundary, chunk_width, giant_doc_tokens)
-    pq.write_table(table, path, row_group_size=row_group_size)
+    os.makedirs(path, exist_ok=True)
+    n = table.num_rows
+    nfiles = max(1, (n + rows_per_file - 1) // rows_per_file)
+    for i in range(nfiles):
+        part = table.slice(i * rows_per_file, rows_per_file)
+        pq.write_table(
+            part,
+            os.path.join(path, f"part-{i:05d}.parquet"),
+            row_group_size=row_group_size,
+        )
     return path

@@ -1,17 +1,24 @@
-"""Document → fixed-width chunk explosion, declaratively (pure Catalyst).
+"""Document → fixed-width chunk planning.
 
-One doc of n tokens becomes ceil(n/W) rows (min 1, so empty docs
-survive the roundtrip) keyed by (doc_id, chunk_idx). This is the
-engine analog of the reference splitting one sequence into 8
-SIMD-lane chunks (/root/reference/src/lib.rs:38-41,
-src/packed_seq.rs:692-718) — except our "lanes" are cluster-wide
-partitions, so a single 10^8-token document spreads over many
-executors instead of pinning one (SURVEY §7.2 skew).
+Chunk identity is global and deterministic: chunk i of a doc covers
+tokens [i*W, (i+1)*W). This is the engine analog of the reference
+splitting one sequence into SIMD-lane chunks
+(/root/reference/src/lib.rs:38-41, src/packed_seq.rs:692-718) — our
+"lanes" are cluster-wide partitions.
 
-Chunking happens BEFORE the shuffle; the subsequent repartition hashes
-(doc_id, chunk_idx), which is exactly the salted repartition the north
-rule asks for: the chunk_idx term is the salt that breaks up giant
-docs, and the hash spreads hot sources.
+Two-tier strategy (skew vs JVM cost):
+  * NORMAL docs (n_tok <= big_threshold) travel whole through the
+    shuffle and are split into W-sized chunks *inside* the Arrow
+    encode kernel — vectorized offset math, no JVM array copying.
+  * BIG docs are exploded declaratively (sequence/slice/posexplode)
+    BEFORE the shuffle so one 10^8-token document spreads over many
+    executors instead of pinning one (SURVEY §7.2 skew). The explode
+    emits exactly-W slices carrying their global chunk_idx; the kernel
+    sees n <= W and passes them through.
+
+The subsequent repartition hashes (doc_id, chunk_idx): chunk_idx is
+the salt that breaks up giant docs, the hash mixes hot sources — the
+salted repartition the north rule requires.
 """
 
 from __future__ import annotations
@@ -20,13 +27,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_CHUNK_WIDTH = 4096
+# docs longer than this are pre-exploded; 16*W ~= 64k tokens keeps the
+# JVM explode on <1% of rows for realistic length distributions
+DEFAULT_BIG_FACTOR = 16
 
 
 def chunk_docs(df: DataFrame, chunk_width: int = DEFAULT_CHUNK_WIDTH) -> DataFrame:
-    """(doc_id, tokens, n_tok, source) -> (doc_id, source, chunk_idx, chunk_tokens).
-
-    All JVM-side (sequence/transform/slice/posexplode); no Python.
-    """
+    """Full declarative explode: every doc becomes ceil(n/W) rows
+    (min 1 so empty docs survive). Used for big docs, and directly in
+    tests as the reference planner."""
     w = int(chunk_width)
     n_chunks = F.greatest(F.ceil(F.col("n_tok") / F.lit(w)).cast("int"), F.lit(1))
     slices = F.transform(
@@ -38,6 +47,25 @@ def chunk_docs(df: DataFrame, chunk_width: int = DEFAULT_CHUNK_WIDTH) -> DataFra
         "source",
         F.posexplode(slices).alias("chunk_idx", "chunk_tokens"),
     )
+
+
+def plan_chunks(
+    df: DataFrame,
+    chunk_width: int = DEFAULT_CHUNK_WIDTH,
+    big_factor: int = DEFAULT_BIG_FACTOR,
+) -> DataFrame:
+    """Hybrid plan: (doc_id, source, chunk_idx, chunk_tokens) rows where
+    normal docs carry chunk_idx=0 and their full token array (kernel
+    re-chunks), big docs are pre-exploded into W-sized rows."""
+    threshold = int(chunk_width) * int(big_factor)
+    small = df.filter(F.col("n_tok") <= threshold).select(
+        "doc_id",
+        "source",
+        F.lit(0).alias("chunk_idx"),
+        F.col("tokens").alias("chunk_tokens"),
+    )
+    big = chunk_docs(df.filter(F.col("n_tok") > threshold), chunk_width)
+    return small.unionByName(big)
 
 
 def repartition_chunks(chunks: DataFrame, num_partitions: int) -> DataFrame:

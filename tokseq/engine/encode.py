@@ -57,16 +57,72 @@ def list_column_to_numpy(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, n
     slice; offsets are rebuilt from per-row lengths)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    values = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    # keep the native int32: every downstream pass is bandwidth-bound
+    values = arr.flatten().to_numpy(zero_copy_only=False)
     lens = arr.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = np.concatenate(([0], np.cumsum(lens)))
     return values, offsets
 
 
-def encode_batch_kernel(
+def rechunk_offsets(
+    offsets: np.ndarray, base_idx: np.ndarray, chunk_width: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split each row [offsets[i], offsets[i+1]) into ceil(L/W)-many
+    (min 1) W-sized chunks — pure offset math, no data movement.
+
+    Returns (chunk_offsets, row_of_chunk, chunk_idx) where chunk_idx
+    continues each row's ``base_idx`` (global chunk numbering: chunk i
+    of a doc covers tokens [i*W, (i+1)*W))."""
+    L = np.diff(offsets)
+    k = np.maximum((L + chunk_width - 1) // chunk_width, 1)
+    total = int(k.sum())
+    row_of = np.repeat(np.arange(len(L), dtype=np.int64), k)
+    kstart = np.concatenate(([0], np.cumsum(k)))[:-1]
+    pos = np.arange(total, dtype=np.int64) - np.repeat(kstart, k)
+    chunk_start = offsets[:-1][row_of] + pos * chunk_width
+    chunk_offsets = np.append(chunk_start, offsets[-1]).astype(np.int64)
+    chunk_idx = base_idx[row_of] + pos
+    return chunk_offsets, row_of, chunk_idx
+
+
+# sub-batch the kernel so every stats pass stays L2/L3-resident: the
+# encode is memory-bound at high core counts, and streaming 8+ passes
+# over a multi-MB batch from DRAM is what caps aggregate throughput
+_SUBBATCH_VALUES = 256 * 1024  # ~1 MB of int32 per slice
+
+
+def encode_batch_kernel(values: np.ndarray, offsets: np.ndarray, enable_fsst: bool = True):
+    """Encode a batch of chunks (cache-blocked). Returns dict of
+    per-chunk output arrays."""
+    nseg = len(offsets) - 1
+    if nseg == 0:
+        return _encode_subbatch(values, offsets, enable_fsst)
+    # split chunk ranges into slices of ~_SUBBATCH_VALUES values
+    outs = []
+    start = 0
+    while start < nseg:
+        end = start
+        limit = offsets[start] + _SUBBATCH_VALUES
+        while end < nseg and (end == start or offsets[end + 1] <= limit):
+            end += 1
+        sub_off = offsets[start : end + 1] - offsets[start]
+        sub_vals = values[offsets[start] : offsets[end]]
+        outs.append(_encode_subbatch(sub_vals, sub_off, enable_fsst))
+        start = end
+    if len(outs) == 1:
+        return outs[0]
+    merged = {}
+    for k in outs[0]:
+        if k in ("codec", "payload"):
+            merged[k] = [x for o in outs for x in o[k]]
+        else:
+            merged[k] = np.concatenate([o[k] for o in outs])
+    return merged
+
+
+def _encode_subbatch(
     values: np.ndarray, offsets: np.ndarray, enable_fsst: bool = True
 ):
-    """Encode a batch of chunks. Returns dict of per-chunk output arrays."""
     st = compute_chunk_stats(values, offsets)
     if len(st.vmin) and st.vmin.min() < 0:
         bad = int(np.argmin(st.vmin))
@@ -97,8 +153,8 @@ def encode_batch_kernel(
             # fall back to the floor-exact bitpack
             name, enc = "bitpack", bitpack.encode(v)
         if sel.fsst_candidate[i]:
-            fenc = fsst.encode(v)
-            if len(fenc.payload) < len(enc.payload):
+            fenc = fsst.encode(v, budget_bytes=len(enc.payload))
+            if fenc is not None and len(fenc.payload) < len(enc.payload):
                 name, enc = "fsst", fenc
         payloads.append(enc.payload)
         out_codec.append(name)
@@ -117,7 +173,9 @@ def encode_batch_kernel(
     }
 
 
-def _encode_map(batches: Iterator[pa.RecordBatch], enable_fsst: bool) -> Iterator[pa.RecordBatch]:
+def _encode_map(
+    batches: Iterator[pa.RecordBatch], enable_fsst: bool, chunk_width: int
+) -> Iterator[pa.RecordBatch]:
     from pyspark import TaskContext
 
     ctx = TaskContext.get()
@@ -125,14 +183,17 @@ def _encode_map(batches: Iterator[pa.RecordBatch], enable_fsst: bool) -> Iterato
     for batch in batches:
         if batch.num_rows == 0:
             continue
-        values, offsets = list_column_to_numpy(batch.column("chunk_tokens"))
+        values, row_offsets = list_column_to_numpy(batch.column("chunk_tokens"))
+        base_idx = batch.column("chunk_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets, row_of, chunk_idx = rechunk_offsets(row_offsets, base_idx, chunk_width)
         out = encode_batch_kernel(values, offsets, enable_fsst)
-        n = batch.num_rows
+        n = len(chunk_idx)
+        take = pa.array(row_of, pa.int64())
         yield pa.RecordBatch.from_arrays(
             [
-                batch.column("doc_id"),
-                batch.column("chunk_idx").cast(pa.int32()),
-                batch.column("source"),
+                batch.column("doc_id").take(take),
+                pa.array(chunk_idx.astype(np.int32), pa.int32()),
+                batch.column("source").take(take),
                 pa.array(out["codec"], pa.string()),
                 pa.array(out["bit_width"], pa.int32()),
                 pa.array(out["n_values"], pa.int64()),
@@ -147,8 +208,12 @@ def _encode_map(batches: Iterator[pa.RecordBatch], enable_fsst: bool) -> Iterato
         )
 
 
-def encode_chunks(chunks_df, enable_fsst: bool = True):
-    """(doc_id, source, chunk_idx, chunk_tokens) -> encoded DataFrame."""
+def encode_chunks(chunks_df, enable_fsst: bool = True, chunk_width: int = 4096):
+    """(doc_id, source, chunk_idx, chunk_tokens) -> encoded DataFrame.
+
+    Rows whose token array exceeds ``chunk_width`` are re-chunked
+    inside the kernel (see rechunk_offsets); pre-exploded W-sized rows
+    pass through with their chunk_idx."""
     return chunks_df.mapInArrow(
-        lambda it: _encode_map(it, enable_fsst), ENCODED_SCHEMA
+        lambda it: _encode_map(it, enable_fsst, chunk_width), ENCODED_SCHEMA
     )

@@ -22,11 +22,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .chunk import DEFAULT_CHUNK_WIDTH, chunk_docs, repartition_chunks
+from .chunk import DEFAULT_CHUNK_WIDTH, plan_chunks, repartition_chunks
 from .decode import decode_chunks, reassemble_docs
 from .encode import encode_chunks
 from .manifest import chunk_manifest, codec_summary, partition_manifest
-from .resume import DEFAULT_BUCKETS, pending_chunks, with_bucket
+from .resume import DEFAULT_BUCKETS, pending_docs, with_bucket
 from .verify import count_mismatches
 
 
@@ -86,24 +86,31 @@ class EncodeJob:
 
     # --- the job ---
     def plan(self, docs: DataFrame, resume: bool = False) -> DataFrame:
-        """Chunk + bucket + (optionally) drop already-encoded chunks."""
-        chunks = with_bucket(chunk_docs(docs, self.chunk_width), self.n_buckets)
+        """(Optionally) drop already-complete docs, then produce the
+        hybrid chunk plan (whole docs + pre-exploded giants)."""
+        docs = with_bucket(docs, self.n_buckets)
         if resume:
-            chunks = pending_chunks(chunks, self._read_manifest(), self.n_buckets)
-        return chunks
+            docs = pending_docs(
+                docs, self._read_manifest(), self.chunk_width, self.n_buckets
+            )
+        return plan_chunks(docs, self.chunk_width)
 
     def run(self, docs: DataFrame, resume: bool = False, verify: bool = False) -> EncodeResult:
         t0 = time.time()
         chunks = self.plan(docs, resume=resume)
         chunks = repartition_chunks(chunks, self.num_partitions)
-        encoded = encode_chunks(chunks, self.enable_fsst)
+        encoded = encode_chunks(chunks, self.enable_fsst, self.chunk_width)
         # bucket must survive the encode kernel: recompute (deterministic)
         encoded = with_bucket(encoded, self.n_buckets)
 
         mode = "append" if resume else "overwrite"
         encoded.write.mode(mode).partitionBy("bucket").parquet(self.encoded_path)
 
-        enc = self.spark.read.parquet(self.encoded_path)
+        # manifest reflects the deduped logical table (appends are
+        # at-least-once; resume counts depend on exact chunk counts)
+        enc = self.spark.read.parquet(self.encoded_path).dropDuplicates(
+            ["doc_id", "chunk_idx"]
+        )
         chunk_manifest(enc).write.mode("overwrite").parquet(self.chunk_manifest_path)
         partition_manifest(enc).write.mode("overwrite").parquet(
             self.partition_manifest_path

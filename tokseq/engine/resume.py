@@ -1,15 +1,17 @@
-"""Checkpoint resume: pending = planned chunks − already-encoded chunks.
+"""Checkpoint resume: pending = planned work − already-encoded work.
 
-The chunk manifest is the source of truth. Resume is a left-anti join
-on (doc_id, chunk_idx) — Spark's `exceptAll` analog on keys (SURVEY
-§2.5 set-ops row). Determinism of chunking (same input + same
-chunk_width → same keys) makes re-encoding idempotent.
+The chunk manifest is the source of truth. Resume granularity is the
+DOCUMENT: a doc is complete iff the manifest holds exactly
+ceil(n_tok/W) (min 1) chunks for it. Incomplete docs are re-encoded
+whole — chunk ids are deterministic and payloads idempotent, so the
+at-least-once append is resolved by the reader's dedup on
+(doc_id, chunk_idx) (SURVEY §7.2 "exactly-once per chunk").
 
-At 10^12-sequence scale the anti-join is itself a big shuffle, so the
-manifest also carries a `bucket` column (pmod of xxhash64(doc_id)):
-a resume first prunes whole buckets whose chunk counts match the
-plan (cheap aggregate compare — partition-pruning analog), then
-anti-joins only within incomplete buckets.
+At 10^12-sequence scale the doc-level anti-join is itself a shuffle,
+so resume first prunes whole BUCKETS (pmod(xxhash64(doc_id), B))
+whose manifest chunk counts match the plan — a cheap aggregate
+compare, the partition-pruning analog — and anti-joins only within
+incomplete buckets.
 """
 
 from __future__ import annotations
@@ -26,26 +28,45 @@ def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     )
 
 
-def pending_chunks(
-    planned: DataFrame, manifest: DataFrame | None, n_buckets: int = DEFAULT_BUCKETS
-) -> DataFrame:
-    """planned: chunked docs (with or without bucket); manifest: chunk
-    manifest of completed work (may be None/empty)."""
-    if "bucket" not in planned.columns:
-        planned = with_bucket(planned, n_buckets)
-    if manifest is None:
-        return planned
-    done = manifest.select("doc_id", "chunk_idx")
-
-    # bucket-level pruning: buckets where done-count == planned-count
-    planned_cnt = planned.groupBy("bucket").count().withColumnRenamed("count", "planned_n")
-    done_cnt = (
-        manifest.groupBy("bucket").count().withColumnRenamed("count", "done_n")
+def expected_chunks(chunk_width: int):
+    return F.greatest(
+        F.ceil(F.col("n_tok") / F.lit(int(chunk_width))).cast("long"), F.lit(1)
     )
-    complete = (
-        planned_cnt.join(done_cnt, "bucket")
+
+
+def pending_docs(
+    docs: DataFrame,
+    manifest: DataFrame | None,
+    chunk_width: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """docs: the input table (doc_id, tokens, n_tok, source [, bucket]);
+    manifest: chunk manifest of completed work (None => everything is
+    pending). Returns the subset of docs needing (re-)encoding."""
+    if "bucket" not in docs.columns:
+        docs = with_bucket(docs, n_buckets)
+    if manifest is None:
+        return docs
+
+    # --- bucket-level pruning
+    planned_b = docs.groupBy("bucket").agg(
+        F.sum(expected_chunks(chunk_width)).alias("planned_n")
+    )
+    done_b = manifest.groupBy("bucket").agg(F.count("*").alias("done_n"))
+    complete_b = (
+        planned_b.join(done_b, "bucket")
         .filter(F.col("planned_n") == F.col("done_n"))
         .select("bucket")
     )
-    incomplete = planned.join(F.broadcast(complete), "bucket", "left_anti")
-    return incomplete.join(done, ["doc_id", "chunk_idx"], "left_anti")
+    cand = docs.join(F.broadcast(complete_b), "bucket", "left_anti")
+
+    # --- doc-level: done chunk counts vs expected
+    done_d = manifest.groupBy("doc_id").agg(F.count("*").alias("done_n"))
+    return (
+        cand.join(done_d, "doc_id", "left")
+        .filter(
+            F.col("done_n").isNull()
+            | (F.col("done_n") != expected_chunks(chunk_width))
+        )
+        .drop("done_n")
+    )

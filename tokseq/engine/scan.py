@@ -1,0 +1,124 @@
+"""Direct-scan encode: read parquet row-group splits with pyarrow
+inside the Python workers, skipping the JVM row→Arrow conversion.
+
+Why: for this engine the scan feeds a Python Arrow kernel anyway;
+shipping 4-byte tokens JVM→Python through InternalRow→ArrowWriter
+costs more than the encode itself (measured ~75 MB/s/task vs
+pyarrow's multi-GB/s parquet decode). The classic fix — the same one
+Spark's own DataSource v2 applies — is to move the columnar read to
+where the compute runs. Tasks are (file, row_group) splits, so
+parallelism and balance match Spark's own parquet splitting; on a
+real cluster each executor reads its splits from DFS exactly as the
+JVM scan would.
+
+Used for full-table encode jobs (bench + production path). The
+DataFrame route (encode.py) stays for arbitrary upstream DataFrames
+(e.g. resume anti-joins, derived tables); both share the same kernel,
+so outputs are byte-identical.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from .encode import (
+    ENCODED_SCHEMA,
+    _ENCODED_PA_SCHEMA,
+    encode_batch_kernel,
+    list_column_to_numpy,
+    rechunk_offsets,
+)
+
+
+def list_parquet_splits(path: str) -> list[tuple[str, int]]:
+    """All (file, row_group) splits under a parquet file or directory."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    splits: list[tuple[str, int]] = []
+    for f in files:
+        n = pq.ParquetFile(f).num_row_groups
+        splits.extend((f, g) for g in range(n))
+    return splits
+
+
+def _scan_encode_map(
+    batches: Iterator[pa.RecordBatch], enable_fsst: bool, chunk_width: int
+) -> Iterator[pa.RecordBatch]:
+    import pyarrow.parquet as pq
+
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    part_id = ctx.partitionId() if ctx is not None else -1
+    for b in batches:
+        paths = b.column("path").to_pylist()
+        groups = b.column("row_group").to_pylist()
+        for path, rg in zip(paths, groups):
+            tbl = pq.ParquetFile(path).read_row_group(
+                rg, columns=["doc_id", "tokens", "source"]
+            )
+            values, row_offsets = list_column_to_numpy(tbl.column("tokens"))
+            base_idx = np.zeros(tbl.num_rows, dtype=np.int64)
+            offsets, row_of, chunk_idx = rechunk_offsets(
+                row_offsets, base_idx, chunk_width
+            )
+            out = encode_batch_kernel(values, offsets, enable_fsst)
+            take = pa.array(row_of, pa.int64())
+            doc_id = tbl.column("doc_id").combine_chunks().take(take)
+            source = tbl.column("source").combine_chunks().take(take)
+            n = len(chunk_idx)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_id,
+                    pa.array(chunk_idx.astype(np.int32), pa.int32()),
+                    source,
+                    pa.array(out["codec"], pa.string()),
+                    pa.array(out["bit_width"], pa.int32()),
+                    pa.array(out["n_values"], pa.int64()),
+                    pa.array(out["min_val"], pa.int64()),
+                    pa.array(out["payload"], pa.binary()),
+                    pa.array(out["in_bytes"], pa.int64()),
+                    pa.array(out["out_bytes"], pa.int64()),
+                    pa.array(out["floor_bytes"], pa.int64()),
+                    pa.array(np.full(n, part_id, dtype=np.int32), pa.int32()),
+                ],
+                schema=_ENCODED_PA_SCHEMA,
+            )
+
+
+def encode_parquet_direct(
+    spark,
+    path: str,
+    chunk_width: int = 4096,
+    enable_fsst: bool = True,
+    num_partitions: int | None = None,
+):
+    """Encode a parquet corpus via worker-side pyarrow reads.
+
+    NOTE: docs are encoded within their row group, so a doc larger
+    than one row group's worth of memory is bounded by row-group size
+    (writers should keep row groups ~100MB — standard parquet
+    practice); chunk spreading of giants across tasks is the
+    DataFrame path's job (plan_chunks)."""
+    splits = list_parquet_splits(path)
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    sdf = spark.createDataFrame(splits, "path string, row_group int")
+    # round-robin the splits for balance
+    sdf = sdf.repartition(min(num_partitions * 4, max(1, len(splits))))
+    return sdf.mapInArrow(
+        lambda it: _scan_encode_map(it, enable_fsst, chunk_width),
+        ENCODED_SCHEMA,
+    )

@@ -23,6 +23,10 @@ def get_spark(
     b = SparkSession.builder.appName(app_name)
     if cores is not None:
         b = b.master(f"local[{cores}]")
+        # local mode = one JVM; the 1g default heap OOMs the vectorized
+        # parquet reader on giant token arrays. On a cluster this is
+        # spark-submit's --executor-memory.
+        b = b.config("spark.driver.memory", "12g")
         if shuffle_partitions is None:
             shuffle_partitions = max(cores, 8)
     if shuffle_partitions is not None:
@@ -33,5 +37,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.session.timeZone", "UTC")
+        # token rows are wide (~KBs of array per row): split parquet scans
+        # finer than the 128m default so a single-file local corpus still
+        # fans out across cores (on a real cluster with many files the
+        # default is fine; this only lowers the split floor)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # rows carry KB-sized token arrays: 4096-row columnar batches
+        # balloon; 512 keeps reader batches ~10s of MB
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .getOrCreate()
     )

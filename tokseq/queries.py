@@ -394,13 +394,13 @@ def q_engine_roundtrip(spark, sf_dir):
     """Full engine on tokenized documents: chunk -> encode -> decode ->
     verify; per-source mismatch counts and byte totals. Rows-only
     (binary payloads are not SQL-expressible)."""
-    from .engine.chunk import chunk_docs
+    from .engine.chunk import plan_chunks
     from .engine.decode import decode_chunks, reassemble_docs
     from .engine.encode import encode_chunks
     from .engine.verify import roundtrip_report
 
     docs = tokenize_documents(spark, sf_dir).cache()
-    enc = encode_chunks(chunk_docs(docs, 4096))
+    enc = encode_chunks(plan_chunks(docs, 4096))
     back = reassemble_docs(decode_chunks(enc))
     rep = roundtrip_report(docs.select("doc_id", "tokens"), back)
     src = docs.select("doc_id", "source")
@@ -419,12 +419,12 @@ def q_engine_roundtrip(spark, sf_dir):
 
 def q_engine_codec_summary(spark, sf_dir):
     """Codec mix + compression totals over tokenized documents."""
-    from .engine.chunk import chunk_docs
+    from .engine.chunk import plan_chunks
     from .engine.encode import encode_chunks
     from .engine.manifest import codec_summary
 
     docs = tokenize_documents(spark, sf_dir)
-    enc = encode_chunks(chunk_docs(docs, 4096))
+    enc = encode_chunks(plan_chunks(docs, 4096))
     return codec_summary(enc)
 
 

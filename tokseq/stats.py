@@ -52,7 +52,11 @@ def _segmented_reduce(op, values, starts, empty, fill):
 
 
 def compute_chunk_stats(values: np.ndarray, offsets: np.ndarray) -> ChunkStats:
-    values = np.ascontiguousarray(values, dtype=np.int64)
+    # keep int32 input as int32: the kernel is memory-bandwidth-bound
+    # at high core counts and these are whole-batch passes
+    values = np.ascontiguousarray(values)
+    if values.dtype not in (np.int32, np.int64):
+        values = values.astype(np.int64)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     starts = offsets[:-1]
     n = np.diff(offsets)
@@ -86,10 +90,12 @@ def compute_chunk_stats(values: np.ndarray, offsets: np.ndarray) -> ChunkStats:
     # composite (seg << 32 | delta) is safe because delta < 2^32 implies
     # no cross-seg collision; fall back to lexsort for wider deltas.
     if m:
-        seg_of = np.repeat(np.arange(nseg, dtype=np.int64), n)
-        deltas = values - vmin[seg_of]
+        seg_of = np.repeat(np.arange(nseg, dtype=np.int32), n)
+        deltas = values - vmin.astype(values.dtype)[seg_of]
         if int(deltas.max()) < (1 << 32) and nseg < (1 << 31):
-            key = np.sort((seg_of << 32) | deltas)
+            key = np.sort(
+                (seg_of.astype(np.int64) << 32) | deltas.astype(np.int64)
+            )
             uniq_flag = np.empty(m, dtype=bool)
             uniq_flag[0] = True
             np.not_equal(key[1:], key[:-1], out=uniq_flag[1:])
@@ -110,10 +116,10 @@ def compute_chunk_stats(values: np.ndarray, offsets: np.ndarray) -> ChunkStats:
     # --- bit-length histogram of (value - chunk_min), via flat bincount
     bl_hist = np.zeros((nseg, 65), dtype=np.int64)
     if m:
-        bl = bit_length(deltas)
-        bl_hist = np.bincount(seg_of * 65 + bl, minlength=nseg * 65).reshape(
-            nseg, 65
-        ).astype(np.int64)
+        bl = bit_length(deltas).astype(np.int32, copy=False)
+        bl_hist = np.bincount(
+            seg_of * np.int32(65) + bl, minlength=nseg * 65
+        ).reshape(nseg, 65).astype(np.int64)
 
     return ChunkStats(n=n, vmin=vmin, vmax=vmax, n_runs=n_runs,
                       max_run=max_run, card=card, bl_hist=bl_hist)

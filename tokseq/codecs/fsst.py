@@ -35,6 +35,7 @@ _MAX_SYMBOLS = 254
 _MIN_PAIR_COUNT = 8
 _ROUNDS = 2
 _HDR = struct.Struct("<BB")  # byte_width, n_symbols
+_ID_EXP_BASE = {b: bytes([b]) for b in range(256)}
 
 
 def _byte_width(max_delta: int) -> int:
@@ -79,16 +80,25 @@ def _learn_and_replace(stream: np.ndarray, budget: int):
         return stream, np.zeros((0, 2), dtype=np.int64)
     alpha = int(stream.max()) + 1
     pair_ids = stream[:-1].astype(np.int32) * np.int32(alpha) + stream[1:]
-    counts = np.bincount(pair_ids)
-    good = np.flatnonzero(counts >= _MIN_PAIR_COUNT)
-    if len(good) == 0:
+    # sort-based counting: streams are chunk-sized (cache-resident), so
+    # unique+counts beats bincount/LUT over the alpha^2 pair space
+    # (those alloc+memset megabytes per chunk and thrash the cache)
+    uniq, counts = np.unique(pair_ids, return_counts=True)
+    good = counts >= _MIN_PAIR_COUNT
+    if not good.any():
         return stream, np.zeros((0, 2), dtype=np.int64)
-    top = good[np.argsort(counts[good], kind="stable")[::-1][:budget]]
-    pairmap = np.full(alpha * alpha, -1, dtype=np.int32)
-    new_ids = np.arange(len(top), dtype=np.int32)
-    pairmap[top] = new_ids
-    mapped = pairmap[pair_ids]
-    sel = _greedy_select(mapped >= 0)
+    guniq = uniq[good]
+    gcounts = counts[good]
+    order = np.argsort(gcounts, kind="stable")[::-1][:budget]
+    top = guniq[order]  # pair ids, count-descending
+    top_sorted = np.sort(top)
+    # rank: position in top_sorted -> count-descending new id
+    rank = np.empty(len(top), dtype=np.int32)
+    rank[np.searchsorted(top_sorted, top)] = np.arange(len(top), dtype=np.int32)
+    idx = np.searchsorted(top_sorted, pair_ids).clip(max=len(top_sorted) - 1)
+    cand = top_sorted[idx] == pair_ids
+    mapped = np.where(cand, rank[idx], -1)
+    sel = _greedy_select(cand)
     if not sel.any():
         return stream, np.zeros((0, 2), dtype=np.int64)
     # next free symbol id must be global across rounds — caller rebases
@@ -130,7 +140,7 @@ class FsstCodec(Codec):
 
         if budget_bytes is not None and len(stream) >= 512:
             pair_ids = stream[:-1] * np.int32(256) + stream[1:]
-            counts = np.bincount(pair_ids, minlength=0)
+            counts = np.unique(pair_ids, return_counts=True)[1]
             k = min(_MAX_SYMBOLS, len(counts))
             top_sum = int(np.partition(counts, len(counts) - k)[-k:].sum())
             saved_ub = min(top_sum, len(stream) // 2)
@@ -141,7 +151,7 @@ class FsstCodec(Codec):
         # --- learn symbol table over up to _ROUNDS BPE rounds ---
         # expansions[i] = byte string for symbol id 256+i
         expansions: list[bytes] = []
-        id_exp = {b: bytes([b]) for b in range(256)}
+        id_exp = dict(_ID_EXP_BASE)
         for _ in range(_ROUNDS):
             budget = _MAX_SYMBOLS - len(expansions)
             prev_alpha = int(stream.max()) + 1 if len(stream) else 256

@@ -95,11 +95,30 @@ class EncodeJob:
             )
         return plan_chunks(docs, self.chunk_width)
 
-    def run(self, docs: DataFrame, resume: bool = False, verify: bool = False) -> EncodeResult:
+    def run(
+        self,
+        docs: DataFrame | None = None,
+        resume: bool = False,
+        verify: bool = False,
+        corpus_path: str | None = None,
+    ) -> EncodeResult:
+        """Encode. Either from a DataFrame (generic path: plan ->
+        shuffle -> encode; required for resume) or directly from a
+        parquet corpus path (fast path: worker-side pyarrow scan)."""
         t0 = time.time()
-        chunks = self.plan(docs, resume=resume)
-        chunks = repartition_chunks(chunks, self.num_partitions)
-        encoded = encode_chunks(chunks, self.enable_fsst, self.chunk_width)
+        if corpus_path is not None and not resume:
+            from .scan import encode_parquet_direct
+
+            encoded = encode_parquet_direct(
+                self.spark, corpus_path, self.chunk_width,
+                self.enable_fsst, self.num_partitions,
+            )
+        else:
+            if docs is None:
+                docs = self.spark.read.parquet(corpus_path)
+            chunks = self.plan(docs, resume=resume)
+            chunks = repartition_chunks(chunks, self.num_partitions)
+            encoded = encode_chunks(chunks, self.enable_fsst, self.chunk_width)
         # bucket must survive the encode kernel: recompute (deterministic)
         encoded = with_bucket(encoded, self.n_buckets)
 
@@ -133,6 +152,8 @@ class EncodeJob:
             wall_sec=wall,
         )
         if verify:
+            if docs is None:
+                docs = self.spark.read.parquet(corpus_path)
             mism = self.verify_roundtrip(docs)
             if mism:
                 raise AssertionError(f"roundtrip mismatches: {mism}")

@@ -34,8 +34,10 @@ from .encode import (
 )
 
 
-def list_parquet_splits(path: str) -> list[tuple[str, int]]:
-    """All (file, row_group) splits under a parquet file or directory."""
+def list_parquet_splits(path: str) -> list[tuple[str, int, int]]:
+    """All (file, row_group, byte_size) splits under a parquet file or
+    directory, sorted byte-size-descending (LPT scheduling: heaviest
+    splits first minimizes tail latency)."""
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
@@ -46,11 +48,23 @@ def list_parquet_splits(path: str) -> list[tuple[str, int]]:
         )
     else:
         files = [path]
-    splits: list[tuple[str, int]] = []
+    splits: list[tuple[str, int, int]] = []
     for f in files:
-        n = pq.ParquetFile(f).num_row_groups
-        splits.extend((f, g) for g in range(n))
+        meta = pq.ParquetFile(f).metadata
+        for g in range(meta.num_row_groups):
+            splits.append((f, g, meta.row_group(g).total_byte_size))
+    splits.sort(key=lambda s: -s[2])
     return splits
+
+
+def _splits_df(spark, splits):
+    """One partition per split, preserving LPT order (repartition would
+    randomize it; parallelize keeps partition i = splits[i], and Spark
+    launches partitions in order)."""
+    rdd = spark.sparkContext.parallelize(
+        [(p, g) for p, g, _ in splits], max(1, len(splits))
+    )
+    return spark.createDataFrame(rdd, "path string, row_group int")
 
 
 def _scan_encode_map(
@@ -98,6 +112,55 @@ def _scan_encode_map(
             )
 
 
+def _scan_encode_summary_map(
+    batches: Iterator[pa.RecordBatch], enable_fsst: bool, chunk_width: int
+) -> Iterator[pa.RecordBatch]:
+    """Same kernel, but aggregates per split and emits one summary row
+    — payloads never leave the worker. This is the honest compute-only
+    throughput probe (an encode job's sink would otherwise dominate
+    the measurement with payload shipping)."""
+    import pyarrow.parquet as pq
+
+    for b in batches:
+        for path, rg in zip(b.column("path").to_pylist(), b.column("row_group").to_pylist()):
+            tbl = pq.ParquetFile(path).read_row_group(rg, columns=["tokens"])
+            values, row_offsets = list_column_to_numpy(tbl.column("tokens"))
+            offsets, _, _ = rechunk_offsets(
+                row_offsets, np.zeros(tbl.num_rows, dtype=np.int64), chunk_width
+            )
+            out = encode_batch_kernel(values, offsets, enable_fsst)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([int(out["n_values"].sum())], pa.int64()),
+                    pa.array([int(out["out_bytes"].sum())], pa.int64()),
+                    pa.array([int(out["floor_bytes"].sum())], pa.int64()),
+                    pa.array([len(out["payload"])], pa.int64()),
+                ],
+                names=["n_values", "out_bytes", "floor_bytes", "n_chunks"],
+            )
+
+
+def encode_parquet_summary(
+    spark,
+    path: str,
+    chunk_width: int = 4096,
+    enable_fsst: bool = True,
+    num_partitions: int | None = None,
+    max_splits: int | None = None,
+):
+    """Compute-only encode probe: per-split summaries, no payload
+    shipping. Returns a DataFrame of per-split totals.
+    ``max_splits`` keeps only the smallest N splits (warmup use)."""
+    splits = list_parquet_splits(path)
+    if max_splits is not None:
+        splits = splits[-max_splits:]
+    sdf = _splits_df(spark, splits)
+    return sdf.mapInArrow(
+        lambda it: _scan_encode_summary_map(it, enable_fsst, chunk_width),
+        "n_values long, out_bytes long, floor_bytes long, n_chunks long",
+    )
+
+
 def encode_parquet_direct(
     spark,
     path: str,
@@ -113,11 +176,9 @@ def encode_parquet_direct(
     practice); chunk spreading of giants across tasks is the
     DataFrame path's job (plan_chunks)."""
     splits = list_parquet_splits(path)
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
-    sdf = spark.createDataFrame(splits, "path string, row_group int")
-    # round-robin the splits for balance
-    sdf = sdf.repartition(min(num_partitions * 4, max(1, len(splits))))
+    # one split per task: Spark's scheduler balances dynamically
+    # (a work-stealing pool over row groups), LPT-ordered
+    sdf = _splits_df(spark, splits)
     return sdf.mapInArrow(
         lambda it: _scan_encode_map(it, enable_fsst, chunk_width),
         ENCODED_SCHEMA,

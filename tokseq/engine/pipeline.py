@@ -123,7 +123,16 @@ class EncodeJob:
         encoded = with_bucket(encoded, self.n_buckets)
 
         mode = "append" if resume else "overwrite"
-        encoded.write.mode(mode).partitionBy("bucket").parquet(self.encoded_path)
+        # cluster files by bucket instead of hive-partitioning by it:
+        # partitionBy(bucket) here means every task writes up to
+        # n_buckets files (task_count x buckets tiny files); one
+        # shuffle keyed on bucket gives ~1 file per output partition,
+        # and bucket-range pruning still works off parquet column
+        # stats (each file holds a narrow bucket range)
+        out = encoded.repartition(self.num_partitions, "bucket").sortWithinPartitions(
+            "bucket"
+        )
+        out.write.mode(mode).parquet(self.encoded_path)
 
         # manifest reflects the deduped logical table (appends are
         # at-least-once; resume counts depend on exact chunk counts)

@@ -464,3 +464,301 @@ ORACLES: dict[str, str] = {
     "quality_score": ORACLE_QUALITY,
     # engine_roundtrip / engine_codec_summary: rows-only (binary codecs)
 }
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / similarity / language-ID
+# (cross-engine-stable hashing: md5-hex prefix -> bigint, affine mod-P
+# hash family; float cosines rounded before ranking)
+# ---------------------------------------------------------------------------
+
+_P = 2147483647
+_MINHASH_AB = [(1299721, 9973), (104729, 3301), (7919, 7507), (31337, 42043)]
+
+
+def _word_hash_expr(col: str) -> str:
+    return f"cast(conv(substr(md5({col}), 1, 8), 16, 10) as bigint)"
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (4 affine hashes over word hashes) per doc —
+    the shingle->minhash stage of MinHash-LSH dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = F.expr(_word_hash_expr("w"))
+    aggs = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_MINHASH_AB)
+    ]
+    return words.groupBy("doc_id").agg(*aggs)
+
+
+ORACLE_MINHASH_SIG = f"""
+SELECT doc_id,
+       MIN(({_word_hash_expr('w')} * 1299721 + 9973) % {_P}) AS mh0,
+       MIN(({_word_hash_expr('w')} * 104729 + 3301) % {_P}) AS mh1,
+       MIN(({_word_hash_expr('w')} * 7919 + 7507) % {_P}) AS mh2,
+       MIN(({_word_hash_expr('w')} * 31337 + 42043) % {_P}) AS mh3
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+WHERE w <> ''
+GROUP BY doc_id
+""".replace("conv(substr(md5(w), 1, 8), 16, 10)", "('0x' || substr(md5(w), 1, 8))")
+
+
+def q_minhash_lsh_buckets(spark, sf_dir):
+    """LSH banding (2 bands x 2 rows): docs sharing a band signature
+    land in the same bucket; bucket sizes > 1 are dup candidates."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    b0 = sig.select(
+        F.lit(0).alias("band"),
+        F.concat_ws("_", "mh0", "mh1").alias("sig"),
+        "doc_id",
+    )
+    b1 = sig.select(
+        F.lit(1).alias("band"),
+        F.concat_ws("_", "mh2", "mh3").alias("sig"),
+        "doc_id",
+    )
+    return (
+        b0.unionByName(b1)
+        .groupBy("band", "sig")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH sig AS ({ORACLE_MINHASH_SIG})
+SELECT band, sig, COUNT(*) AS n_docs FROM (
+  SELECT 0 AS band, mh0 || '_' || mh1 AS sig, doc_id FROM sig
+  UNION ALL
+  SELECT 1 AS band, mh2 || '_' || mh3 AS sig, doc_id FROM sig
+) t GROUP BY band, sig
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash over word hashes: per bit, sign of the sum of
+    (+1/-1) votes across all word occurrences."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = F.expr(_word_hash_expr("w"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    agg = words.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("int").alias("simhash"))
+
+
+_ORACLE_SIMHASH_BITS = ",\n".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(16)
+)
+_ORACLE_SIMHASH_VAL = " + ".join(
+    f"CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+)
+ORACLE_SIMHASH = f"""
+WITH wh AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE w <> ''
+), bits AS (
+  SELECT doc_id, {_ORACLE_SIMHASH_BITS}
+  FROM wh GROUP BY doc_id
+)
+SELECT doc_id, CAST({_ORACLE_SIMHASH_VAL} AS INT) AS simhash FROM bits
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram Jaccard similarity for same-source doc pairs —
+    near-dup detection. Gram sets built via position explode (pure
+    Catalyst); jaccard exact in integers, emitted at 4 decimals."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    grams = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr("transform(sequence(1, greatest(length(text)-2, 1)), i -> substr(text, i, 3))")
+            ).alias("g"),
+        )
+        .filter(F.length("g") == 3)
+        .distinct()
+    )
+    counts = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    pairs = (
+        grams.alias("a")
+        .join(grams.alias("b"), ["source", "g"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_grams", "n1"), "d1")
+        .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_grams", "n2"), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+    return out
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, source, substr(text, i, 3) AS g
+  FROM documents, (SELECT unnest(generate_series(1, 4000)) AS i)
+  WHERE i <= greatest(length(text) - 2, 1) AND length(substr(text, i, 3)) = 3
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, ROUND(inter / (c1.n_grams + c2.n_grams - inter), 4) AS jaccard
+FROM pairs
+JOIN counts c1 ON c1.doc_id = d1
+JOIN counts c2 ON c2.doc_id = d2
+WHERE ROUND(inter / (c1.n_grams + c2.n_grams - inter), 4) >= 0.2
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for the first 8 query
+    vectors (ANN baseline; ranking on rounded cosine for cross-engine
+    determinism)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = (
+        q.crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(dot / (norm(F.col("qv")) * norm(F.col("embedding"))), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cos")
+    )
+
+
+ORACLE_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_dot_product(q.qv, e.embedding) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 5
+"""
+
+
+def _occur(col, sub):
+    """# occurrences of sub in col via the length/replace trick."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    return (
+        (F.length(padded) - F.length(F.regexp_replace(padded, sub, "")))
+        / len(sub.replace("\\", ""))
+    ).cast("int")
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-marker occurrence counts with a
+    deterministic argmax (en > de > fr on ties)."""
+    docs = _t(spark, sf_dir, "documents")
+    # literal-space-delimited markers; no regex metacharacters
+    en = _occur(F.col("text"), " the ") + _occur(F.col("text"), " and ")
+    de = _occur(F.col("text"), " der ") + _occur(F.col("text"), " und ")
+    fr = _occur(F.col("text"), " le ") + _occur(F.col("text"), " et ")
+    guess = (
+        F.when((en >= de) & (en >= fr), "en")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        en.alias("en_n"),
+        de.alias("de_n"),
+        fr.alias("fr_n"),
+        guess.alias("lang_guess"),
+    )
+
+
+def _occur_sql(sub):
+    pad = "' ' || lower(text) || ' '"
+    return (
+        f"CAST((length({pad}) - length(replace({pad}, '{sub}', ''))) / {len(sub)} AS INT)"
+    )
+
+
+ORACLE_LANG_ID = f"""
+SELECT doc_id,
+       {_occur_sql(' the ')} + {_occur_sql(' and ')} AS en_n,
+       {_occur_sql(' der ')} + {_occur_sql(' und ')} AS de_n,
+       {_occur_sql(' le ')} + {_occur_sql(' et ')} AS fr_n,
+       CASE WHEN {_occur_sql(' the ')} + {_occur_sql(' and ')} >= {_occur_sql(' der ')} + {_occur_sql(' und ')}
+             AND {_occur_sql(' the ')} + {_occur_sql(' and ')} >= {_occur_sql(' le ')} + {_occur_sql(' et ')} THEN 'en'
+            WHEN {_occur_sql(' der ')} + {_occur_sql(' und ')} >= {_occur_sql(' le ')} + {_occur_sql(' et ')} THEN 'de'
+            ELSE 'fr' END AS lang_guess
+FROM documents
+"""
+
+
+QUERIES.update(
+    {
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_buckets": q_minhash_lsh_buckets,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "lang_id": q_lang_id,
+    }
+)
+ORACLES.update(
+    {
+        "minhash_signatures": ORACLE_MINHASH_SIG,
+        "minhash_lsh_buckets": ORACLE_MINHASH_LSH,
+        "simhash": ORACLE_SIMHASH,
+        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "embedding_topk": ORACLE_EMBEDDING_TOPK,
+        "lang_id": ORACLE_LANG_ID,
+    }
+)

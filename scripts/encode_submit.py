@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""spark-submit entry point: encode a tokenized corpus.
+
+Local:
+    python scripts/encode_submit.py --input corpus.parquet --output out/
+
+Cluster (package the lib first: `cd repo && zip -r tokseq.zip tokseq`):
+    spark-submit --py-files tokseq.zip scripts/encode_submit.py \
+        --input s3://bucket/corpus --output s3://bucket/encoded \
+        --chunk-width 4096 --buckets 4096 --resume
+
+Input: parquet (or, with --table, an Iceberg/catalog table via
+spark.read.table) with columns (doc_id string, tokens array<int>,
+n_tok int, source string). Output layout: encoded/ + manifest/
+(see tokseq.engine.pipeline).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet path or table name")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--table", action="store_true",
+                    help="treat --input as a catalog (e.g. Iceberg) table name")
+    ap.add_argument("--chunk-width", type=int, default=4096)
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--verify", action="store_true",
+                    help="decode everything back and assert bit-identical")
+    ap.add_argument("--no-fsst", action="store_true")
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local[N] master; omit under spark-submit")
+    args = ap.parse_args()
+
+    from tokseq.engine import EncodeJob, get_spark
+
+    spark = get_spark(cores=args.cores, app_name="tokseq-encode")
+    job = EncodeJob(
+        spark,
+        args.output,
+        chunk_width=args.chunk_width,
+        n_buckets=args.buckets,
+        enable_fsst=not args.no_fsst,
+    )
+    if args.table:
+        docs = spark.read.table(args.input)
+        res = job.run(docs, resume=args.resume, verify=args.verify)
+    elif args.resume or args.verify:
+        docs = spark.read.parquet(args.input)
+        res = job.run(docs, resume=args.resume, verify=args.verify)
+    else:
+        res = job.run(corpus_path=args.input)
+
+    print(json.dumps({
+        "n_chunks": res.n_chunks,
+        "n_tokens": res.n_values,
+        "in_bytes": res.in_bytes,
+        "out_bytes": res.out_bytes,
+        "floor_bytes": res.floor_bytes,
+        "bytes_per_token": round(res.bytes_per_token, 4),
+        "tokens_per_sec": round(res.tokens_per_sec),
+        "wall_sec": round(res.wall_sec, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Validity bitmap (PackedNSeq analog) — FIXTURES.md F4: mask =
+invalid ∪ low-quality; windowed-any vs the naive oracle for
+k ∈ {1, 2, 31, 57, 96}; 1-bit payload matches golden layout."""
+
+import numpy as np
+import pytest
+
+from tokseq.validity import (
+    build_mask,
+    mask_docs,
+    pack_mask,
+    unpack_mask,
+    windowed_any,
+    windowed_any_naive,
+)
+
+
+def test_mask_semantics_and_pack_roundtrip():
+    rng = np.random.default_rng(42)
+    tokens = rng.integers(0, 100, 500)
+    tokens[rng.choice(500, 5, replace=False)] = 10_000  # out of vocab
+    quality = rng.integers(0, 40, 500)
+    m = build_mask(tokens, quality, quality_threshold=10, vocab=1000)
+    oracle = (tokens >= 1000) | (quality < 10)
+    assert np.array_equal(m, oracle)
+    assert np.array_equal(unpack_mask(pack_mask(m), len(m)), m)
+
+
+def test_mask_golden_layout():
+    # [1,0,1,1,0,0,0,1] -> 0b10001101 (FIXTURES.md F3, w=1 golden)
+    m = np.array([1, 0, 1, 1, 0, 0, 0, 1], dtype=bool)
+    assert pack_mask(m) == bytes([0b10001101])
+
+
+@pytest.mark.parametrize("k", [1, 2, 31, 57, 96])
+def test_windowed_any_vs_naive(k):
+    rng = np.random.default_rng(42 + k)
+    # ~1% density like the reference's N-injection (src/test.rs:818-822)
+    for n in (k, k + 1, 200, 1000):
+        m = rng.random(n) < 0.01
+        assert np.array_equal(windowed_any(m, k), windowed_any_naive(m, k))
+
+
+def test_mask_docs_spark(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(0, 300))
+        rows.append(
+            {
+                "doc_id": f"d{i:03d}",
+                "tokens": rng.integers(0, 60000, n).astype("int32").tolist(),
+                "quality": rng.integers(0, 40, n).astype("int32").tolist(),
+            }
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r["doc_id"]: r for r in mask_docs(df, 10, 50257).collect()}
+    assert len(out) == 40
+    for row in rows:
+        t = np.array(row["tokens"], dtype=np.int64)
+        q = np.array(row["quality"], dtype=np.int64)
+        m = build_mask(t, q if len(q) else None, 10, 50257)
+        got = out[row["doc_id"]]
+        assert got["n"] == len(t)
+        assert got["n_masked"] == int(m.sum())
+        assert np.array_equal(unpack_mask(bytes(got["mask"]), len(t)), m)

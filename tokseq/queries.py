@@ -658,8 +658,10 @@ def q_embedding_topk(spark, sf_dir):
             lambda acc, v: acc + v,
         )
     )
+    # broadcast the tiny query side; the big side streams (at 10^9
+    # vectors this is the scan side, never collected)
     scored = (
-        q.crossJoin(emb)
+        emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",

@@ -764,3 +764,129 @@ ORACLES.update(
         "lang_id": ORACLE_LANG_ID,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate nearest neighbors — the scale path for
+# embedding similarity: 8 deterministic integer hyperplanes (md5-derived
+# components) bucket the vectors; search only touches same-bucket
+# candidates. At 10^9 vectors the bucket join replaces the全 cross join.
+# ---------------------------------------------------------------------------
+
+_LSH_BITS = 8
+
+
+def _lsh_buckets(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    planes = spark.range(_LSH_BITS).select(F.col("id").alias("j")).crossJoin(
+        spark.range(1, 65).select(F.col("id").alias("i"))
+    )
+    pv = (
+        F.expr("cast(conv(substr(md5(concat_ws('_', j, i)), 1, 4), 16, 10) as int)")
+        % 1001
+        - 500
+    )
+    planes = planes.select("j", "i", pv.alias("pval"))
+    dots = (
+        comp.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * F.col("pval")).alias("dot"))
+    )
+    bit = F.when(F.col("dot") > 0, F.expr("shiftleft(1, cast(j as int))")).otherwise(0)
+    return dots.groupBy("vec_id").agg(F.sum(bit).cast("int").alias("bucket"))
+
+
+def q_lsh_bucket_assign(spark, sf_dir):
+    """Hyperplane-LSH bucket id per vector (the index-build stage)."""
+    return _lsh_buckets(spark, sf_dir)
+
+
+ORACLE_LSH_ASSIGN = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), planes AS (
+  SELECT j, i,
+         (('0x' || substr(md5(j || '_' || i), 1, 4))::INT % 1001) - 500 AS pval
+  FROM (SELECT unnest(generate_series(0, {_LSH_BITS - 1})) AS j),
+       (SELECT unnest(generate_series(1, 64)) AS i)
+), dots AS (
+  SELECT c.vec_id, p.j, SUM(c.x * p.pval) AS dot
+  FROM comp c JOIN planes p ON c.i = p.i
+  GROUP BY c.vec_id, p.j
+)
+SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << CAST(j AS INT) ELSE 0 END) AS INT) AS bucket
+FROM dots GROUP BY vec_id
+"""
+
+
+def q_embedding_ann_lsh(spark, sf_dir):
+    """ANN top-3 within the query's LSH bucket (vs the brute-force
+    baseline q_embedding_topk): candidates = same-bucket vectors only."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    buckets = _lsh_buckets(spark, sf_dir)
+    embb = emb.join(buckets, "vec_id")
+    q = embb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+    )
+    cand = embb.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("qid"))
+    dot = F.aggregate(
+        F.zip_with("qv", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = cand.select(
+        "qid", "vec_id",
+        F.round(dot / (norm(F.col("qv")) * norm(F.col("embedding"))), 4).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "rank", "vec_id", "cos")
+    )
+
+
+ORACLE_ANN_LSH = f"""
+WITH buckets AS ({ORACLE_LSH_ASSIGN}),
+embb AS (
+  SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)
+),
+q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM embb WHERE vec_id < 8),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_dot_product(q.qv, e.embedding) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS cos
+  FROM q JOIN embb e ON e.bucket = q.bucket AND e.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 3
+"""
+
+
+QUERIES.update(
+    {
+        "lsh_bucket_assign": q_lsh_bucket_assign,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+    }
+)
+ORACLES.update(
+    {
+        "lsh_bucket_assign": ORACLE_LSH_ASSIGN,
+        "embedding_ann_lsh": ORACLE_ANN_LSH,
+    }
+)

@@ -890,3 +890,74 @@ ORACLES.update(
         "embedding_ann_lsh": ORACLE_ANN_LSH,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (order-sensitive rolling hash) + BPE-ish
+# token counting — the remaining text-analysis ops
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling polynomial fingerprint: sum over words of
+    h(word) * 31^(pos mod 8) mod P — order-sensitive (unlike a bag
+    hash), cheap, cross-engine exact in integers."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    h = F.expr(_word_hash_expr("w")) % F.lit(_P)
+    powers = [1, 31, 961, 29791, 923521, 28629151, 887503681, 1742810335]
+    coef = F.element_at(
+        F.array(*[F.lit(p) for p in powers]), (F.col("pos") % 8 + 1).cast("int")
+    )
+    term = (h * coef) % F.lit(_P)
+    return words.groupBy("doc_id").agg(
+        (F.sum(term) % F.lit(_P)).alias("fingerprint")
+    )
+
+
+_POWERS_SQL = "CASE (pos % 8) " + " ".join(
+    f"WHEN {i} THEN {p}" for i, p in enumerate(
+        [1, 31, 961, 29791, 923521, 28629151, 887503681, 1742810335])
+) + " END"
+
+ORACLE_FINGERPRINT = f"""
+WITH words AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+)
+SELECT doc_id,
+       SUM(((('0x' || substr(md5(w), 1, 8))::BIGINT % {_P}) * ({_POWERS_SQL})) % {_P}) % {_P} AS fingerprint
+FROM words WHERE w <> ''
+GROUP BY doc_id
+"""
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting: alpha runs + digit runs + solitary
+    punctuation, via regexp_count (same RE semantics both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    pat = "[A-Za-z]+|[0-9]+|[.,!?;]"
+    return docs.select(
+        "doc_id",
+        F.expr(f"regexp_count(text, '{pat}')").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+ORACLE_BPE_COUNT = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[.,!?;]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+QUERIES.update({
+    "doc_fingerprint": q_doc_fingerprint,
+    "bpe_token_count": q_bpe_token_count,
+})
+ORACLES.update({
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+    "bpe_token_count": ORACLE_BPE_COUNT,
+})

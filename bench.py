@@ -103,11 +103,14 @@ def run_child(cores: int, corpus: str, do_write: bool, out_json: str) -> None:
         ).collect()[0]
         return time.time() - t0, row
 
-    # best-of-2: the sandbox host has noisy neighbors; min wall is the
-    # least-interference estimate of the job's true cost
+    # best-of-2 at high core counts: the sandbox host has noisy
+    # neighbors; min wall is the least-interference estimate. Low-core
+    # runs are long and stable — one pass.
     t1, row = timed_direct()
-    t2, _ = timed_direct()
-    t_encode = min(t1, t2)
+    t_encode = t1
+    if cores >= 8:
+        t2, _ = timed_direct()
+        t_encode = min(t1, t2)
 
     # --- DataFrame-route encode (generic path: shuffle + JVM->Arrow),
     # reported alongside for honesty about both strategies
@@ -139,6 +142,15 @@ def run_child(cores: int, corpus: str, do_write: bool, out_json: str) -> None:
             decoded.agg(F.sum(F.size("tokens"))).collect()
             metrics["decode_sec"] = time.time() - t0
             metrics["decode_tokens_per_sec"] = row["v"] / metrics["decode_sec"]
+            # decode kernel probe (worker-side scan, no reassembly shuffle)
+            from tokseq.engine.scan import decode_parquet_summary
+
+            t0 = time.time()
+            dsum = decode_parquet_summary(spark, job.encoded_path).agg(
+                F.sum("n_values")
+            ).collect()[0][0]
+            metrics["decode_kernel_sec"] = time.time() - t0
+            metrics["decode_kernel_tokens_per_sec"] = dsum / metrics["decode_kernel_sec"]
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -286,6 +298,7 @@ def main() -> None:
     queries["encode_local%d" % cpus] = round(hi["encode_sec"], 3)
     queries["encode_write_local%d" % cpus] = round(hi["encode_write_sec"], 3)
     queries["decode_local%d" % cpus] = round(hi["decode_sec"], 3)
+    queries["decode_kernel_local%d" % cpus] = round(hi.get("decode_kernel_sec", 0.0), 3)
 
     payload = {
         "metric": "encode_wall_sec_local%d" % cpus,

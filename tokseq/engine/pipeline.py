@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 from .chunk import DEFAULT_CHUNK_WIDTH, plan_chunks, repartition_chunks
 from .decode import decode_chunks, reassemble_docs
 from .encode import encode_chunks
-from .manifest import chunk_manifest, codec_summary, partition_manifest
+from .manifest import (
+    CHUNK_MANIFEST_COLS,
+    chunk_manifest,
+    codec_summary,
+    partition_manifest,
+)
 from .resume import DEFAULT_BUCKETS, pending_docs, with_bucket
 from .verify import count_mismatches
 
@@ -132,12 +137,18 @@ class EncodeJob:
         out = encoded.repartition(self.num_partitions, "bucket").sortWithinPartitions(
             "bucket"
         )
-        out.write.mode(mode).parquet(self.encoded_path)
+        # payloads are already entropy-coded; snappy on top costs CPU
+        # for ~no size win
+        out.write.mode(mode).option("compression", "none").parquet(self.encoded_path)
 
         # manifest reflects the deduped logical table (appends are
-        # at-least-once; resume counts depend on exact chunk counts)
-        enc = self.spark.read.parquet(self.encoded_path).dropDuplicates(
-            ["doc_id", "chunk_idx"]
+        # at-least-once; resume counts depend on exact chunk counts).
+        # project BEFORE deduping so the payload column never enters
+        # the dedup shuffle (column pruning keeps the re-read cheap).
+        enc = (
+            self.spark.read.parquet(self.encoded_path)
+            .select(*CHUNK_MANIFEST_COLS)
+            .dropDuplicates(["doc_id", "chunk_idx"])
         )
         chunk_manifest(enc).write.mode("overwrite").parquet(self.chunk_manifest_path)
         partition_manifest(enc).write.mode("overwrite").parquet(

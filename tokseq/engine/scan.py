@@ -183,3 +183,39 @@ def encode_parquet_direct(
         lambda it: _scan_encode_map(it, enable_fsst, chunk_width),
         ENCODED_SCHEMA,
     )
+
+
+def _scan_decode_summary_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Worker-side decode probe: read encoded splits with pyarrow,
+    decode every chunk, emit per-split totals + a token-sum checksum."""
+    import pyarrow.parquet as pq
+
+    from .decode import decode_batch_kernel
+
+    for b in batches:
+        for path, rg in zip(b.column("path").to_pylist(), b.column("row_group").to_pylist()):
+            tbl = pq.ParquetFile(path).read_row_group(
+                rg, columns=["payload", "codec", "bit_width", "n_values", "min_val"]
+            )
+            flat, offsets = decode_batch_kernel(
+                tbl.column("payload").to_pylist(),
+                tbl.column("codec").to_pylist(),
+                tbl.column("bit_width").to_numpy(zero_copy_only=False),
+                tbl.column("min_val").to_numpy(zero_copy_only=False),
+                tbl.column("n_values").to_numpy(zero_copy_only=False),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([int(offsets[-1])], pa.int64()),
+                    pa.array([int(flat.astype(np.int64).sum())], pa.int64()),
+                ],
+                names=["n_values", "token_sum"],
+            )
+
+
+def decode_parquet_summary(spark, encoded_path: str):
+    """Decode-throughput probe over an encoded table (no reassembly
+    shuffle; that belongs to the consumer query)."""
+    splits = list_parquet_splits(encoded_path)
+    sdf = _splits_df(spark, splits)
+    return sdf.mapInArrow(_scan_decode_summary_map, "n_values long, token_sum long")

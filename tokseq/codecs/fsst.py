@@ -15,6 +15,13 @@ left-to-right pair selection uses the alternating-run trick: within a
 maximal run of consecutive candidate positions, every other position
 starting at the run head is selected (identical to sequential greedy).
 
+Two encode modes:
+  * per-chunk: learn a table on the chunk itself (best ratio);
+  * shared-table (:class:`SharedFsstTable`): learn once on a sample of
+    a batch of similar chunks, then replace-only per chunk — real
+    FSST's amortization trick; payloads stay self-contained because
+    each chunk's header stores only the symbols it actually used.
+
 Reference parity: this plays the role the reference's byte-level
 packing tricks play for DNA — exploiting distributional redundancy the
 plain bitpack floor can't see. It is only ever *chosen* by the
@@ -72,42 +79,161 @@ def _greedy_select(cand: np.ndarray) -> np.ndarray:
     return cand & (((pos - start) & 1) == 0)
 
 
-def _learn_and_replace(stream: np.ndarray, budget: int):
-    """One BPE round. Returns (new_stream, pairs) where pairs is an
-    (k, 2) array of the symbol ids each new id expands to."""
-    m = len(stream)
-    if m < 2 or budget <= 0:
-        return stream, np.zeros((0, 2), dtype=np.int64)
-    alpha = int(stream.max()) + 1
+def _select_top_pairs(stream: np.ndarray, budget: int, alpha: int,
+                      min_count: int = _MIN_PAIR_COUNT):
+    """Pick up to ``budget`` frequent adjacent pairs, count-descending.
+    Pair ids live in the FIXED ``alpha`` space so a learned table
+    applies to other streams. Sort-based counting: streams are
+    chunk-sized (cache-resident), so unique+counts beats a bincount/
+    LUT over the alpha^2 pair space (megabyte alloc+memset per call).
+    Returns (top, top_sorted, rank) or None."""
+    if len(stream) < 2 or budget <= 0:
+        return None
     pair_ids = stream[:-1].astype(np.int32) * np.int32(alpha) + stream[1:]
-    # sort-based counting: streams are chunk-sized (cache-resident), so
-    # unique+counts beats bincount/LUT over the alpha^2 pair space
-    # (those alloc+memset megabytes per chunk and thrash the cache)
     uniq, counts = np.unique(pair_ids, return_counts=True)
-    good = counts >= _MIN_PAIR_COUNT
+    good = counts >= min_count
     if not good.any():
-        return stream, np.zeros((0, 2), dtype=np.int64)
+        return None
     guniq = uniq[good]
     gcounts = counts[good]
     order = np.argsort(gcounts, kind="stable")[::-1][:budget]
-    top = guniq[order]  # pair ids, count-descending
+    top = guniq[order]  # count-descending
     top_sorted = np.sort(top)
-    # rank: position in top_sorted -> count-descending new id
     rank = np.empty(len(top), dtype=np.int32)
     rank[np.searchsorted(top_sorted, top)] = np.arange(len(top), dtype=np.int32)
+    return top, top_sorted, rank
+
+
+def _replace_pairs(stream, alpha, base_global, top_sorted, rank):
+    """Greedy non-overlapping replacement of table pairs; new symbols
+    get global ids base_global + rank. Returns the new stream, or None
+    if nothing was replaced."""
+    m = len(stream)
+    if m < 2 or len(top_sorted) == 0:
+        return None
+    pair_ids = stream[:-1].astype(np.int32) * np.int32(alpha) + stream[1:]
     idx = np.searchsorted(top_sorted, pair_ids).clip(max=len(top_sorted) - 1)
     cand = top_sorted[idx] == pair_ids
-    mapped = np.where(cand, rank[idx], -1)
     sel = _greedy_select(cand)
     if not sel.any():
-        return stream, np.zeros((0, 2), dtype=np.int64)
-    # next free symbol id must be global across rounds — caller rebases
+        return None
     out = stream.astype(np.int32, copy=True)
-    out[:-1][sel] = mapped[sel] + alpha  # temp ids alpha..alpha+k-1
+    out[:-1][sel] = np.int32(base_global) + rank[idx[sel]]
     keep = np.ones(m, dtype=bool)
     keep[1:][sel] = False
-    pairs = np.stack([top // alpha, top % alpha], axis=1)
-    return out[keep], pairs
+    return out[keep]
+
+
+def _learn(stream: np.ndarray, min_count: int = _MIN_PAIR_COUNT):
+    """Run up to _ROUNDS BPE rounds on ``stream``.
+    Returns (rounds, id_exp, final_stream) where rounds entries are
+    (alpha, base_global, top_sorted, rank)."""
+    id_exp = dict(_ID_EXP_BASE)
+    rounds = []
+    alpha = 256
+    for _ in range(_ROUNDS):
+        budget = _MAX_SYMBOLS - (len(id_exp) - 256)
+        sel_t = _select_top_pairs(stream, budget, alpha, min_count)
+        if sel_t is None:
+            break
+        top, top_sorted, rank = sel_t
+        base_global = 256 + (len(id_exp) - 256)
+        new_stream = _replace_pairs(stream, alpha, base_global, top_sorted, rank)
+        if new_stream is None:
+            break
+        for j, pid in enumerate(top):
+            a, b = divmod(int(pid), alpha)
+            id_exp[base_global + j] = id_exp[a] + id_exp[b]
+        rounds.append((alpha, base_global, top_sorted, rank))
+        stream = new_stream
+        alpha = base_global + len(top)
+    return rounds, id_exp, stream
+
+
+def _finalize(stream: np.ndarray, id_exp: dict, bw: int, w: int, lo: int) -> Encoded:
+    """Dense-remap used symbols, assign code byte values (least
+    frequent literals), escape-emit, build the self-contained payload."""
+    n_learned = len(id_exp) - 256
+    used = np.unique(stream[stream >= 256]) if len(stream) else np.zeros(0, np.int64)
+    if len(used):
+        lut = np.arange(256 + n_learned, dtype=np.int32)
+        for i, s in enumerate(used):
+            lut[int(s)] = 256 + i
+        stream = lut[stream]
+    expansions = [id_exp[int(s)] for s in used]
+    L = len(expansions)
+
+    lit_freq = np.bincount(stream[stream < 256], minlength=256).astype(np.int64)
+    order = np.argsort(lit_freq, kind="stable")
+    code_values = [int(b) for b in order if b != _ESC][:L]
+    needs_escape = np.zeros(256, dtype=bool)
+    needs_escape[_ESC] = True
+    needs_escape[code_values] = True
+    sym_code = np.array(code_values, dtype=np.uint8)
+
+    is_dict = stream >= 256
+    lit_vals = np.where(is_dict, 0, stream)
+    esc = (~is_dict) & needs_escape[lit_vals]
+    lens = np.where(is_dict | ~esc, 1, 2)
+    off = np.concatenate(([0], np.cumsum(lens)))
+    out = np.empty(off[-1], dtype=np.uint8)
+    one = lens == 1
+    out[off[:-1][one]] = np.where(
+        is_dict[one],
+        sym_code[(stream[one] - 256).clip(min=0)] if L else 0,
+        stream[one],
+    ).astype(np.uint8)
+    two = ~one
+    out[off[:-1][two]] = _ESC
+    out[off[:-1][two] + 1] = stream[two].astype(np.uint8)
+
+    header = bytearray(_HDR.pack(bw, L))
+    for c, e in zip(code_values, expansions):
+        header += bytes([c, len(e)])
+    for e in expansions:
+        header += e
+    return Encoded(bytes(header) + out.tobytes(), w, lo)
+
+
+def _prepare(values: np.ndarray):
+    """chunk -> (lo, w, bw, byte stream as int32)."""
+    v = as_int64(values)
+    lo = int(v.min())
+    d = v - lo
+    hi = int(d.max())
+    w = max(1, hi.bit_length())
+    bw = _byte_width(hi)
+    return lo, w, bw, _to_bytes(d, bw).astype(np.int32)
+
+
+class SharedFsstTable:
+    """A symbol table learned once on a sample of similar chunks and
+    applied replace-only per chunk (FSST's block-level amortization).
+    Payloads stay self-contained: _finalize trims each chunk's header
+    to the symbols it used, so the decoder is unchanged."""
+
+    __slots__ = ("bw", "rounds", "id_exp")
+
+    def __init__(self, bw, rounds, id_exp):
+        self.bw = bw
+        self.rounds = rounds
+        self.id_exp = id_exp
+
+    @classmethod
+    def learn(cls, sample_stream: np.ndarray, bw: int) -> "SharedFsstTable":
+        # keep the same pair DENSITY bar as per-chunk learning
+        # (count >= 8 per ~8KB stream); a pooled sample otherwise
+        # admits symbols too rare per chunk to pay for their code slot
+        min_count = max(_MIN_PAIR_COUNT, len(sample_stream) // 1024)
+        rounds, id_exp, _ = _learn(sample_stream, min_count)
+        return cls(bw, rounds, id_exp)
+
+    def encode_stream(self, stream: np.ndarray, w: int, lo: int) -> Encoded:
+        for alpha, base_global, top_sorted, rank in self.rounds:
+            ns = _replace_pairs(stream, alpha, base_global, top_sorted, rank)
+            if ns is not None:
+                stream = ns
+        return _finalize(stream, self.id_exp, self.bw, w, lo)
 
 
 class FsstCodec(Codec):
@@ -127,16 +253,10 @@ class FsstCodec(Codec):
         estimate says this chunk cannot come in under it, returns None
         (the selector then keeps its cheaper codec — wasted full
         encodes are the kernel's main cost on fsst-hostile data)."""
-        v = as_int64(values)
-        n = len(v)
+        n = len(values)
         if n == 0:
             return Encoded(b"", 0, 0)
-        lo = int(v.min())
-        d = v - lo
-        hi = int(d.max())
-        w = max(1, hi.bit_length())
-        bw = _byte_width(hi)
-        stream = _to_bytes(d, bw).astype(np.int32)
+        lo, w, bw, stream = _prepare(values)
 
         if budget_bytes is not None and len(stream) >= 512:
             pair_ids = stream[:-1] * np.int32(256) + stream[1:]
@@ -148,71 +268,19 @@ class FsstCodec(Codec):
             if est_out >= budget_bytes:
                 return None
 
-        # --- learn symbol table over up to _ROUNDS BPE rounds ---
-        # expansions[i] = byte string for symbol id 256+i
-        expansions: list[bytes] = []
-        id_exp = dict(_ID_EXP_BASE)
-        for _ in range(_ROUNDS):
-            budget = _MAX_SYMBOLS - len(expansions)
-            prev_alpha = int(stream.max()) + 1 if len(stream) else 256
-            new_stream, pairs = _learn_and_replace(stream, budget)
-            if len(pairs) == 0:
-                break
-            # rebase temp ids (prev_alpha + j) -> global id 256 + len(expansions) + j
-            base_global = 256 + len(expansions)
-            tmp = new_stream >= prev_alpha
-            new_stream[tmp] = new_stream[tmp] - prev_alpha + base_global
-            for j, (a, b) in enumerate(pairs):
-                e = id_exp[int(a)] + id_exp[int(b)]
-                id_exp[base_global + j] = e
-                expansions.append(e)
-            stream = new_stream
+        rounds, id_exp, stream = _learn(stream)
+        return _finalize(stream, id_exp, bw, w, lo)
 
-        # drop learned symbols that never appear in the final stream
-        # (replaced in a later round); remap stream ids densely.
-        used = np.unique(stream[stream >= 256]) if len(stream) else np.zeros(0, np.int64)
-        remap = {int(s): 256 + i for i, s in enumerate(used)}
-        if len(used):
-            lut = np.arange(256 + len(expansions), dtype=np.int32)
-            for old, new in remap.items():
-                lut[old] = new
-            stream = lut[stream]
-        expansions = [id_exp[int(s)] for s in used]
-        L = len(expansions)
-
-        # --- choose code byte values: least frequent literal bytes ---
-        lit_freq = np.bincount(stream[stream < 256], minlength=256).astype(np.int64)
-        order = np.argsort(lit_freq, kind="stable")
-        code_values = [int(b) for b in order if b != _ESC][:L]
-        needs_escape = np.zeros(256, dtype=bool)
-        needs_escape[_ESC] = True
-        needs_escape[code_values] = True
-        sym_code = np.array(code_values, dtype=np.uint8)
-
-        # --- emit ---
-        is_dict = stream >= 256
-        lit_vals = np.where(is_dict, 0, stream)
-        esc = (~is_dict) & needs_escape[lit_vals]
-        lens = np.where(is_dict | ~esc, 1, 2)
-        off = np.concatenate(([0], np.cumsum(lens)))
-        out = np.empty(off[-1], dtype=np.uint8)
-        one = lens == 1
-        out[off[:-1][one]] = np.where(
-            is_dict[one],
-            sym_code[(stream[one] - 256).clip(min=0)] if L else 0,
-            stream[one],
-        ).astype(np.uint8)
-        two = ~one
-        out[off[:-1][two]] = _ESC
-        out[off[:-1][two] + 1] = stream[two].astype(np.uint8)
-
-        header = bytearray(_HDR.pack(bw, L))
-        for c, e in zip(code_values, expansions):
-            header += bytes([c, len(e)])
-        for e in expansions:
-            header += e
-        payload = bytes(header) + out.tobytes()
-        return Encoded(payload, w, lo)
+    def encode_with_table(self, values: np.ndarray, table: SharedFsstTable):
+        """Replace-only encode against a shared table; returns None if
+        the chunk's byte width differs from the table's."""
+        n = len(values)
+        if n == 0:
+            return Encoded(b"", 0, 0)
+        lo, w, bw, stream = _prepare(values)
+        if bw != table.bw:
+            return None
+        return table.encode_stream(stream, w, lo)
 
     def decode(self, payload: bytes, n: int, bit_width: int, min_val: int) -> np.ndarray:
         if n == 0:

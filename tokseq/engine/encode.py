@@ -134,6 +134,36 @@ def _encode_subbatch(
     names = sel.names()
     nseg = st.n_chunks
 
+    # shared FSST tables: when a sub-batch carries enough candidates of
+    # one byte width, learn the symbol table ONCE on a sample and apply
+    # replace-only per chunk (FSST's block amortization; per-chunk
+    # learning is the kernel's dominant cost on text-like tokens)
+    from ..codecs.fsst import SharedFsstTable, _byte_width, _prepare
+
+    # shared tables only pay off on LONG streams (>= ~4KB): a short
+    # chunk using many shared symbols spends more on its per-chunk
+    # header than the replacements save
+    _SHARED_MIN_STREAM = 4096
+    shared_tables: dict[int, SharedFsstTable] = {}
+    if enable_fsst:
+        cand_idx = np.flatnonzero(sel.fsst_candidate)
+        if len(cand_idx) >= 6:
+            by_bw: dict[int, list[int]] = {}
+            for i in cand_idx:
+                bw = _byte_width(int(st.vmax[i] - st.vmin[i]))
+                if int(st.n[i]) * bw >= _SHARED_MIN_STREAM:
+                    by_bw.setdefault(bw, []).append(int(i))
+            for bw, idxs in by_bw.items():
+                if len(idxs) < 6:
+                    continue
+                parts = []
+                for i in idxs[:16]:
+                    _, _, _, s = _prepare(values[offsets[i] : offsets[i + 1]])
+                    parts.append(s[:2048])
+                shared_tables[bw] = SharedFsstTable.learn(
+                    np.concatenate(parts), bw
+                )
+
     payloads: list[bytes] = []
     out_codec: list[str] = []
     out_width = np.zeros(nseg, dtype=np.int32)
@@ -153,7 +183,12 @@ def _encode_subbatch(
             # fall back to the floor-exact bitpack
             name, enc = "bitpack", bitpack.encode(v)
         if sel.fsst_candidate[i]:
-            fenc = fsst.encode(v, budget_bytes=len(enc.payload))
+            bw = _byte_width(int(st.vmax[i] - st.vmin[i]))
+            table = shared_tables.get(bw)
+            if table is not None and int(st.n[i]) * bw >= _SHARED_MIN_STREAM:
+                fenc = fsst.encode_with_table(v, table)
+            else:
+                fenc = fsst.encode(v, budget_bytes=len(enc.payload))
             if fenc is not None and len(fenc.payload) < len(enc.payload):
                 name, enc = "fsst", fenc
         payloads.append(enc.payload)

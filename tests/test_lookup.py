@@ -1,0 +1,44 @@
+"""Random access (SURVEY §3.3): point reads from the encoded table
+must equal in-memory slices of the original tokens, and the plan must
+push the predicates to the parquet scan."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tokseq.engine.lookup import point_lookup
+from tokseq.engine.pipeline import EncodeJob
+
+CHUNK_W = 512
+
+
+def test_point_lookup_matches_source(spark, corpus_df, tmp_path):
+    out = str(tmp_path / "out")
+    job = EncodeJob(spark, out, chunk_width=CHUNK_W, n_buckets=16)
+    job.run(corpus_df)
+
+    rng = np.random.default_rng(42)
+    docs = corpus_df.filter(F.col("n_tok") > 0).select("doc_id", "tokens").collect()
+    picks = rng.choice(len(docs), 12, replace=False)
+    for i in picks:
+        doc_id, tokens = docs[i]["doc_id"], np.array(docs[i]["tokens"])
+        n = len(tokens)
+        pos = int(rng.integers(0, n))
+        k = int(rng.integers(1, 40))
+        got = point_lookup(spark, job.encoded_path, doc_id, pos, k,
+                           chunk_width=CHUNK_W, n_buckets=16)
+        want = tokens[pos : pos + k]
+        assert np.array_equal(got, want), (doc_id, pos, k)
+
+    # chunk-boundary straddle
+    doc = next(d for d in docs if len(d["tokens"]) > CHUNK_W + 10)
+    tokens = np.array(doc["tokens"])
+    got = point_lookup(spark, job.encoded_path, doc["doc_id"], CHUNK_W - 5, 10,
+                       chunk_width=CHUNK_W, n_buckets=16)
+    assert np.array_equal(got, tokens[CHUNK_W - 5 : CHUNK_W + 5])
+
+    # predicates reach the parquet scan
+    enc = spark.read.parquet(job.encoded_path).filter(
+        (F.col("doc_id") == doc["doc_id"]) & (F.col("chunk_idx") >= 0)
+    )
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "doc_id" in plan

@@ -1,0 +1,63 @@
+"""Random access: read k tokens at an arbitrary (doc_id, pos) from the
+encoded table — the reference's third entry point
+(``read_kmer`` / ``slice(..).as_u64``, SURVEY §3.3,
+/root/reference/src/traits.rs:84-87, src/packed_seq.rs:468-482).
+
+Spark rendering: a point lookup is a manifest-shaped predicate on the
+encoded table — ``bucket = h(doc) AND doc_id = ... AND chunk_idx
+BETWEEN pos//W AND (pos+k-1)//W`` — which Parquet row-group statistics
+prune to a handful of pages (the encoded table is written clustered by
+bucket), then a decode of only the touched chunks and an in-memory
+slice. O(touched chunks), never a scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..codecs import get_codec
+
+
+def point_lookup(
+    spark: SparkSession,
+    encoded_path: str,
+    doc_id: str,
+    pos: int,
+    k: int,
+    chunk_width: int = 4096,
+    n_buckets: int | None = None,
+) -> np.ndarray:
+    """tokens[pos : pos+k] of ``doc_id`` (short reads past the doc end)."""
+    first = pos // chunk_width
+    last = (pos + max(k, 1) - 1) // chunk_width
+    enc = spark.read.parquet(encoded_path).filter(
+        (F.col("doc_id") == doc_id)
+        & (F.col("chunk_idx") >= first)
+        & (F.col("chunk_idx") <= last)
+    )
+    if n_buckets is not None and "bucket" in enc.columns:
+        # same hash Spark used at write time -> file/row-group pruning
+        # on the bucket-clustered layout
+        enc = enc.filter(
+            F.col("bucket") == F.pmod(F.xxhash64(F.lit(doc_id)), F.lit(n_buckets))
+        )
+    rows = enc.select(
+        "chunk_idx", "codec", "bit_width", "n_values", "min_val", "payload"
+    ).collect()
+    # at-least-once writes: dedup on chunk_idx
+    by_idx = {r["chunk_idx"]: r for r in rows}
+    parts = []
+    for ci in sorted(by_idx):
+        r = by_idx[ci]
+        codec = get_codec(r["codec"])
+        parts.append(
+            codec.decode(bytes(r["payload"]), int(r["n_values"]),
+                         int(r["bit_width"]), int(r["min_val"]))
+        )
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
+    flat = np.concatenate(parts)
+    start = pos - min(by_idx) * chunk_width
+    return flat[max(start, 0) : max(start, 0) + k]

@@ -7,6 +7,13 @@ os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-bench", action="store_true", default=False,
+        help="run kernel micro-benchmarks (the reference's #[ignore] analog)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from tokseq.engine.session import get_spark

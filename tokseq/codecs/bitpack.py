@@ -82,11 +82,57 @@ def pack_bits_le(values: np.ndarray, width: int) -> bytes:
         for j in range(1, g):
             out |= vb[j::g] << np.uint8(j * width)
         return out[:nbytes].tobytes()
-    # generic path: expand to a (n, w) LSB-first bit matrix, pack LE.
-    bits = (
-        (v[:, None] >> np.arange(width, dtype=work)) & work(1)
-    ).astype(np.uint8)
-    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    # generic path: word-lane packing. Groups of g = lcm(w,64)/w values
+    # fill exactly W = lcm(w,64)/64 u64 words; each lane shifts into
+    # its word (with a spill into the next when it straddles) — ~2
+    # vector ops per value, no bit matrix.
+    return _pack_words(v.astype(np.uint64), width, n)
+
+
+def _group_geometry(width: int) -> tuple[int, int]:
+    """(values per group, u64 words per group) with exact alignment."""
+    import math
+
+    L = math.lcm(width, 64)
+    return L // width, L // 64
+
+
+def _pack_words(v: np.ndarray, width: int, n: int) -> bytes:
+    g, W = _group_geometry(width)
+    ngroups = (n + g - 1) // g
+    vp = np.zeros(ngroups * g, dtype=np.uint64)
+    vp[:n] = v
+    m = vp.reshape(ngroups, g)
+    words = np.zeros((ngroups, W), dtype=np.uint64)
+    for lane in range(g):
+        bit = lane * width
+        wi, sh = bit // 64, bit % 64
+        words[:, wi] |= m[:, lane] << np.uint64(sh)
+        spill = sh + width - 64
+        if spill > 0:
+            words[:, wi + 1] |= m[:, lane] >> np.uint64(width - spill)
+    return words.tobytes()[: packed_size(n, width)]
+
+
+def _unpack_words(buf: bytes, width: int, n: int) -> np.ndarray:
+    g, W = _group_geometry(width)
+    ngroups = (n + g - 1) // g
+    raw = np.zeros(ngroups * W * 8, dtype=np.uint8)
+    raw[: packed_size(n, width)] = np.frombuffer(
+        buf, np.uint8, count=packed_size(n, width)
+    )
+    words = raw.view("<u8").reshape(ngroups, W)
+    out = np.empty((ngroups, g), dtype=np.uint64)
+    mask = np.uint64((1 << width) - 1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    for lane in range(g):
+        bit = lane * width
+        wi, sh = bit // 64, bit % 64
+        x = words[:, wi] >> np.uint64(sh)
+        spill = sh + width - 64
+        if spill > 0:
+            x = x | (words[:, wi + 1] << np.uint64(width - spill))
+        out[:, lane] = x & mask
+    return out.reshape(-1)[:n]
 
 
 def unpack_bits_le(buf: bytes, width: int, n: int) -> np.ndarray:
@@ -102,9 +148,12 @@ def unpack_bits_le(buf: bytes, width: int, n: int) -> np.ndarray:
         return raw.view("<u4")[:n].astype(np.uint64)
     if width == 64:
         return raw.view("<u8")[:n].astype(np.uint64)
-    bits = np.unpackbits(raw, count=n * width, bitorder="little")
-    # per-row re-pack into <=8 LE bytes, then view as u64
-    rows = np.packbits(bits.reshape(n, width), axis=1, bitorder="little")
-    out = np.zeros((n, 8), dtype=np.uint8)
-    out[:, : rows.shape[1]] = rows
-    return out.reshape(-1).view("<u8").astype(np.uint64, copy=False)
+    if width in (1, 2, 4):
+        # strided inverse of the pack fast path
+        g = 8 // width
+        mask = np.uint8((1 << width) - 1)
+        out = np.empty(len(raw) * g, dtype=np.uint8)
+        for j in range(g):
+            out[j::g] = (raw >> np.uint8(j * width)) & mask
+        return out[:n].astype(np.uint64)
+    return _unpack_words(buf, width, n)

@@ -271,15 +271,31 @@ class FsstCodec(Codec):
         rounds, id_exp, stream = _learn(stream)
         return _finalize(stream, id_exp, bw, w, lo)
 
-    def encode_with_table(self, values: np.ndarray, table: SharedFsstTable):
+    def encode_with_table(
+        self,
+        values: np.ndarray,
+        table: SharedFsstTable,
+        budget_bytes: int | None = None,
+    ):
         """Replace-only encode against a shared table; returns None if
-        the chunk's byte width differs from the table's."""
+        the chunk's byte width differs from the table's, or if the
+        same cheap upper-bound estimate as ``encode`` says the chunk
+        cannot beat ``budget_bytes``."""
         n = len(values)
         if n == 0:
             return Encoded(b"", 0, 0)
         lo, w, bw, stream = _prepare(values)
         if bw != table.bw:
             return None
+        if budget_bytes is not None and len(stream) >= 512:
+            pair_ids = stream[:-1] * np.int32(256) + stream[1:]
+            counts = np.unique(pair_ids, return_counts=True)[1]
+            k = min(_MAX_SYMBOLS, len(counts))
+            top_sum = int(np.partition(counts, len(counts) - k)[-k:].sum())
+            saved_ub = min(top_sum, len(stream) // 2)
+            est_out = len(stream) - int(0.75 * saved_ub) + 3 * k // 4 + 4
+            if est_out >= budget_bytes:
+                return None
         return table.encode_stream(stream, w, lo)
 
     def decode(self, payload: bytes, n: int, bit_width: int, min_val: int) -> np.ndarray:

@@ -186,7 +186,7 @@ def _encode_subbatch(
             bw = _byte_width(int(st.vmax[i] - st.vmin[i]))
             table = shared_tables.get(bw)
             if table is not None and int(st.n[i]) * bw >= _SHARED_MIN_STREAM:
-                fenc = fsst.encode_with_table(v, table)
+                fenc = fsst.encode_with_table(v, table, budget_bytes=len(enc.payload))
             else:
                 fenc = fsst.encode(v, budget_bytes=len(enc.payload))
             if fenc is not None and len(fenc.payload) < len(enc.payload):

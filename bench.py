@@ -186,6 +186,9 @@ def time_queries(sf_dir: str, cores: int) -> dict[str, float]:
         "e3_kmer_pack", "rle_run_detect", "selector_costmodel",
         "dedup_exact", "engine_roundtrip",
     ]
+    # warm the session (scheduler, python workers) so the first timed
+    # query isn't billed for spin-up
+    QUERIES["dedup_exact"](spark, sf_dir).collect()
     out = {}
     for name in names:
         t0 = time.time()

@@ -773,7 +773,12 @@ ORACLES.update(
 # candidates. At 10^9 vectors the bucket join replaces the全 cross join.
 # ---------------------------------------------------------------------------
 
-_LSH_BITS = 8
+# multi-table LSH: 4 tables x 4 hyperplane bits each. One 8-bit table
+# over-partitions weakly-clustered data (205 buckets for 500 vectors);
+# multiple smaller tables is how real LSH trades candidates for recall.
+_LSH_TABLES = 4
+_LSH_BITS_PER_TABLE = 4
+_LSH_PLANES = _LSH_TABLES * _LSH_BITS_PER_TABLE
 
 
 def _lsh_buckets(spark, sf_dir):
@@ -781,7 +786,7 @@ def _lsh_buckets(spark, sf_dir):
     comp = emb.select(
         "vec_id", F.posexplode("embedding").alias("i0", "x")
     ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
-    planes = spark.range(_LSH_BITS).select(F.col("id").alias("j")).crossJoin(
+    planes = spark.range(_LSH_PLANES).select(F.col("id").alias("j")).crossJoin(
         spark.range(1, 65).select(F.col("id").alias("i"))
     )
     pv = (
@@ -795,12 +800,20 @@ def _lsh_buckets(spark, sf_dir):
         .groupBy("vec_id", "j")
         .agg(F.sum(F.col("x") * F.col("pval")).alias("dot"))
     )
-    bit = F.when(F.col("dot") > 0, F.expr("shiftleft(1, cast(j as int))")).otherwise(0)
-    return dots.groupBy("vec_id").agg(F.sum(bit).cast("int").alias("bucket"))
+    tbl = (F.col("j") / _LSH_BITS_PER_TABLE).cast("int")
+    bit = F.when(
+        F.col("dot") > 0,
+        F.expr(f"shiftleft(1, cast(j % {_LSH_BITS_PER_TABLE} as int))"),
+    ).otherwise(0)
+    return (
+        dots.groupBy("vec_id", tbl.alias("tbl"))
+        .agg(F.sum(bit).cast("int").alias("bucket"))
+    )
 
 
 def q_lsh_bucket_assign(spark, sf_dir):
-    """Hyperplane-LSH bucket id per vector (the index-build stage)."""
+    """Hyperplane-LSH bucket ids per vector, one per hash table (the
+    index-build stage of multi-table LSH)."""
     return _lsh_buckets(spark, sf_dir)
 
 
@@ -812,15 +825,16 @@ WITH comp AS (
 ), planes AS (
   SELECT j, i,
          (('0x' || substr(md5(j || '_' || i), 1, 4))::INT % 1001) - 500 AS pval
-  FROM (SELECT unnest(generate_series(0, {_LSH_BITS - 1})) AS j),
+  FROM (SELECT unnest(generate_series(0, {_LSH_PLANES - 1})) AS j),
        (SELECT unnest(generate_series(1, 64)) AS i)
 ), dots AS (
   SELECT c.vec_id, p.j, SUM(c.x * p.pval) AS dot
   FROM comp c JOIN planes p ON c.i = p.i
   GROUP BY c.vec_id, p.j
 )
-SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << CAST(j AS INT) ELSE 0 END) AS INT) AS bucket
-FROM dots GROUP BY vec_id
+SELECT vec_id, CAST(j // {_LSH_BITS_PER_TABLE} AS INT) AS tbl,
+       CAST(SUM(CASE WHEN dot > 0 THEN 1 << CAST(j % {_LSH_BITS_PER_TABLE} AS INT) ELSE 0 END) AS INT) AS bucket
+FROM dots GROUP BY vec_id, j // {_LSH_BITS_PER_TABLE}
 """
 
 
@@ -831,9 +845,13 @@ def q_embedding_ann_lsh(spark, sf_dir):
     buckets = _lsh_buckets(spark, sf_dir)
     embb = emb.join(buckets, "vec_id")
     q = embb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "tbl", "bucket"
     )
-    cand = embb.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("qid"))
+    cand = (
+        embb.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .dropDuplicates(["qid", "vec_id"])
+    )
     dot = F.aggregate(
         F.zip_with("qv", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -861,14 +879,14 @@ def q_embedding_ann_lsh(spark, sf_dir):
 ORACLE_ANN_LSH = f"""
 WITH buckets AS ({ORACLE_LSH_ASSIGN}),
 embb AS (
-  SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)
+  SELECT e.vec_id, e.embedding, b.tbl, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)
 ),
-q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM embb WHERE vec_id < 8),
+q AS (SELECT vec_id AS qid, embedding AS qv, tbl, bucket FROM embb WHERE vec_id < 8),
 scored AS (
-  SELECT q.qid, e.vec_id,
+  SELECT DISTINCT q.qid, e.vec_id,
          ROUND(list_dot_product(q.qv, e.embedding) /
                (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS cos
-  FROM q JOIN embb e ON e.bucket = q.bucket AND e.vec_id <> q.qid
+  FROM q JOIN embb e ON e.tbl = q.tbl AND e.bucket = q.bucket AND e.vec_id <> q.qid
 ), ranked AS (
   SELECT qid, vec_id, cos,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
@@ -961,3 +979,113 @@ ORACLES.update({
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "bpe_token_count": ORACLE_BPE_COUNT,
 })
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (rows-only): centroids trained driver-side on a deterministic
+# sample (standard IVF practice — train on a sample, assign
+# distributed), cell assignment + probing as pure DataFrame ops.
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8
+_IVF_ITERS = 5
+_IVF_NPROBE = 2
+
+
+def _ivf_centroids(spark, sf_dir):
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [r["embedding"] for r in emb.filter(F.col("vec_id") < 256)
+         .orderBy("vec_id").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    # deterministic Lloyd: init = first K sample vectors
+    cent = sample[:_IVF_K].copy()
+    for _ in range(_IVF_ITERS):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(_IVF_K):
+            members = sample[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def _cell_expr(cent):
+    """argmin_j ||v - c_j||^2 == argmax_j (dot(v,c_j) - |c_j|^2/2)."""
+    scores = []
+    for j, c in enumerate(cent):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scores.append(dot - float((c * c).sum() / 2.0))
+    best = None
+    for j in range(len(cent)):
+        cond = None
+        for i in range(len(cent)):
+            if i == j:
+                continue
+            c = scores[j] >= scores[i] if i > j else scores[j] > scores[i]
+            cond = c if cond is None else (cond & c)
+        best = F.when(cond, j) if best is None else best.when(cond, j)
+    return best.otherwise(0).cast("int")
+
+
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF-clustered ANN: assign every vector to its nearest centroid
+    cell; probe the query's top cell(s); cosine top-3 within probed
+    cells. Rows-only (k-means training is not SQL-expressible)."""
+    import numpy as np
+
+    cent = _ivf_centroids(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cells = emb.withColumn("cell", _cell_expr(cent))
+
+    # driver-side probe list per query (8 queries x tiny centroid math)
+    qrows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    probes = []
+    for r in qrows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        d = ((cent - v) ** 2).sum(axis=1)
+        order = np.argsort(d, kind="stable")[:_IVF_NPROBE]
+        for c in order:
+            probes.append((int(r["vec_id"]), int(c)))
+    probe_df = spark.createDataFrame(probes, "qid int, cell int")
+    q = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .join(F.broadcast(probe_df), "qid")
+    )
+
+    cand = cells.join(F.broadcast(q), "cell").filter(F.col("vec_id") != F.col("qid"))
+    dot = F.aggregate(
+        F.zip_with("qv", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = cand.select(
+        "qid", "vec_id",
+        F.round(dot / (norm(F.col("qv")) * norm(F.col("embedding"))), 4).alias("cos"),
+    ).dropDuplicates(["qid", "vec_id"])
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "rank", "vec_id", "cos")
+    )
+
+
+QUERIES["embedding_ivf_topk"] = q_embedding_ivf_topk
+# rows-only: k-means training is iterative, not SQL-expressible

@@ -22,8 +22,8 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 
-from ..codecs import get_codec, packed_size
-from ..selector import CODEC_NAMES, select
+from ..codecs import get_codec
+from ..selector import select
 from ..stats import compute_chunk_stats
 
 ENCODED_SCHEMA = (

@@ -6,5 +6,5 @@ bitpack, for, rle, dict, pfor, fsst.
 
 from .base import Codec, Encoded, all_codecs, get_codec  # noqa: F401
 from .bitpack import bit_length, pack_bits_le, packed_size, unpack_bits_le  # noqa: F401
-from .simple import BITPACK, DICT, FOR, PFOR, RLE  # noqa: F401
+from .simple import BITPACK, DICT, FOR, PFOR, RLE, SPLIT  # noqa: F401
 from .fsst import FSST  # noqa: F401

@@ -238,3 +238,72 @@ FOR = register(ForCodec())
 RLE = register(RleCodec())
 DICT = register(DictCodec())
 PFOR = register(PforCodec())
+
+
+class Split2Codec(Codec):
+    """Two-bucket split encoding (selector bitmap + dual streams) — the
+    high-exception-rate regime PFoR can't serve: when 30-70% of values
+    need the wide width, per-exception positions cost more than a flat
+    1-bit selector.
+
+    payload = header <u1 w1, u1 w2, u4 n_high>
+            + pack_bits_le(high-mask, 1)          (n bits)
+            + pack_bits_le(low deltas, w1)
+            + pack_bits_le(high deltas, w2)
+    min lives in min_val; bit_width reports w2 (the full FoR width).
+    """
+
+    name = "split"
+    _HDR = struct.Struct("<BBI")
+
+    def encode(self, values: np.ndarray, low_width: int | None = None) -> Encoded:
+        v = as_int64(values)
+        n = len(v)
+        if n == 0:
+            return Encoded(b"", 0, 0)
+        lo = int(v.min())
+        d = v - lo
+        w2 = _width_of(int(d.max()))
+        if low_width is None:
+            low_width = _best_split_width(bit_length(d), w2)
+        w1 = int(low_width)
+        high = d > ((1 << w1) - 1) if w1 < 63 else np.zeros(n, bool)
+        n_high = int(high.sum())
+        payload = (
+            self._HDR.pack(w1, w2, n_high)
+            + pack_bits_le(high.astype(np.uint8), 1)
+            + pack_bits_le(d[~high], w1)
+            + pack_bits_le(d[high], w2)
+        )
+        return Encoded(payload, w2, lo)
+
+    def decode(self, payload: bytes, n: int, bit_width: int, min_val: int) -> np.ndarray:
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        w1, w2, n_high = self._HDR.unpack_from(payload, 0)
+        off = self._HDR.size
+        mb = packed_size(n, 1)
+        high = unpack_bits_le(payload[off : off + mb], 1, n).astype(bool)
+        off += mb
+        n_low = n - n_high
+        lb = packed_size(n_low, w1)
+        low_vals = unpack_bits_le(payload[off : off + lb], w1, n_low).astype(np.int64)
+        high_vals = unpack_bits_le(payload[off + lb :], w2, n_high).astype(np.int64)
+        out = np.empty(n, dtype=np.int64)
+        out[~high] = low_vals
+        out[high] = high_vals
+        return out + min_val
+
+
+def _best_split_width(bit_lengths: np.ndarray, w2: int) -> int:
+    """w1 minimizing n + n_low(w1)*w1 + n_high(w1)*w2 bits."""
+    n = len(bit_lengths)
+    hist = np.bincount(bit_lengths, minlength=w2 + 1)[: w2 + 1]
+    n_low = np.cumsum(hist)  # n_low[w] = #values with bl <= w
+    widths = np.arange(w2 + 1)
+    cost = n + n_low * widths + (n - n_low) * w2
+    cost[0] = np.iinfo(np.int64).max // 2  # w1 >= 1
+    return max(1, int(np.argmin(cost)))
+
+
+SPLIT = register(Split2Codec())

@@ -33,8 +33,9 @@ from .stats import ChunkStats
 RLE_HDR = 6
 DICT_HDR = 6
 PFOR_HDR = 7
+SPLIT_HDR = 6
 
-CODEC_NAMES = ("bitpack", "for", "rle", "dict", "pfor")
+CODEC_NAMES = ("bitpack", "for", "rle", "dict", "pfor", "split")
 
 
 def _w(x: np.ndarray) -> np.ndarray:
@@ -52,6 +53,7 @@ class Selection:
     est_bytes: np.ndarray       # estimated payload size of the pick
     floor_bytes: np.ndarray     # reference floor ceil(n*w/8)
     pfor_width: np.ndarray      # best base width per chunk (for pfor)
+    split_width: np.ndarray     # best low width per chunk (for split)
     fsst_candidate: np.ndarray  # bool: worth try-encoding fsst
 
     def names(self) -> np.ndarray:
@@ -83,30 +85,49 @@ def estimate_sizes(st: ChunkStats) -> np.ndarray:
     pfor_wb = np.argmin(cost_bits, axis=1)
     pfor = PFOR_HDR + (np.take_along_axis(cost_bits, pfor_wb[:, None], 1).ravel() + 7) // 8
 
-    sizes = np.stack([bitpack, for_, rle, dict_, pfor])
+    # split (two-bucket selector bitmap): from the same histogram,
+    # cost(w1) = n selector bits + n_low(w1)*w1 + n_high(w1)*w_for bits
+    n_low = np.cumsum(hist, axis=1)  # n_low[:, w] = #values with bl <= w
+    split_bits = n[:, None] + n_low * widths + (n[:, None] - n_low) * w_for[:, None]
+    split_bits[:, 0] = np.iinfo(np.int64).max // 2  # w1 >= 1
+    split_w1 = np.argmin(split_bits, axis=1)
+    nl = np.take_along_axis(n_low, split_w1[:, None], 1).ravel()
+    # exact bytes: three independently byte-padded streams + header
+    split = (
+        SPLIT_HDR
+        + (n + 7) // 8
+        + (nl * split_w1 + 7) // 8
+        + ((n - nl) * w_for + 7) // 8
+    )
+
+    sizes = np.stack([bitpack, for_, rle, dict_, pfor, split])
     # empty chunks: zero payload whatever the codec; keep bitpack
     sizes[:, n == 0] = 0
-    return sizes, pfor_wb
+    return sizes, pfor_wb, split_w1
 
 
 def select(st: ChunkStats, enable_fsst: bool = True) -> Selection:
-    sizes, pfor_wb = estimate_sizes(st)
+    sizes, pfor_wb, split_w1 = estimate_sizes(st)
     # prefer lower codec index on ties -> bitpack wins ties (simplest decode)
     codec_idx = np.argmin(sizes, axis=0)
     est = np.take_along_axis(sizes, codec_idx[None, :], 0).ravel()
     floor = sizes[0]
     # fsst candidacy: big-enough chunk, >= 9-bit values, and the best
-    # cheap codec still spends >= 1 byte/token
+    # cheap codec still spends >= ~1.9 bytes/token (with the split
+    # codec in the family, byte-gram mining only pays on distributions
+    # the bucket codecs can't squeeze — i.e. near-incompressible-by-
+    # width data with repeated byte patterns)
     fsst_cand = (
         enable_fsst
         & (st.n >= 256)
         & (_w(st.vmax - st.vmin) >= 9)
-        & (est * 1 >= st.n)
+        & (est * 8 >= 15 * st.n)
     )
     return Selection(
         codec_idx=codec_idx,
         est_bytes=est,
         floor_bytes=floor,
         pfor_width=pfor_wb,
+        split_width=split_w1,
         fsst_candidate=np.asarray(fsst_cand, dtype=bool),
     )

@@ -3,8 +3,9 @@
 Built from scratch with the capabilities of rust-seq/packed-seq
 (`/root/reference`), re-expressed Spark-first: token arrays are exploded
 into fixed-width column chunks, each chunk is encoded by the
-minimal-size codec among {bitpack, frame-of-reference, RLE, dictionary,
-patched-FoR (sparse exceptions), FSST-style byte-gram symbol table},
+minimal-size codec among {bitpack, frame-of-reference, RLE,
+dictionary, patched-FoR (sparse exceptions), two-bucket split,
+FSST-style byte-gram symbol table},
 and the encoded table carries a manifest enabling checkpoint resume.
 
 The reference's SIMD-lane parallelism maps to Arrow record batches

@@ -1,7 +1,7 @@
 """Pure-numpy codec kernels (no Spark import).
 
 Importing this package registers all codecs:
-bitpack, for, rle, dict, pfor, fsst.
+bitpack, for, rle, dict, pfor, split, fsst.
 """
 
 from .base import Codec, Encoded, all_codecs, get_codec  # noqa: F401

@@ -86,7 +86,13 @@ def reassemble_docs(decoded_df: DataFrame) -> DataFrame:
     """(doc_id, chunk_idx, chunk_tokens) -> (doc_id, tokens).
 
     array_sort over structs orders by chunk_idx (first struct field),
-    so reassembly is shuffle-order-independent."""
+    so reassembly is shuffle-order-independent.
+
+    NOTE (scale): reassembly materializes one row per document, so a
+    10^8-token doc becomes a ~400MB row on one executor. That is the
+    cost of asking for whole documents; consumers that can stream
+    should read (doc_id, chunk_idx, chunk_tokens) from decode_chunks
+    directly and keep chunk granularity."""
     return decoded_df.groupBy("doc_id").agg(
         F.flatten(
             F.transform(

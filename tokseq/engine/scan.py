@@ -57,13 +57,34 @@ def list_parquet_splits(path: str) -> list[tuple[str, int, int]]:
     return splits
 
 
+_MAX_SPLIT_TASKS = 4096
+
+
 def _splits_df(spark, splits):
-    """One partition per split, preserving LPT order (repartition would
-    randomize it; parallelize keeps partition i = splits[i], and Spark
-    launches partitions in order)."""
-    rdd = spark.sparkContext.parallelize(
-        [(p, g) for p, g, _ in splits], max(1, len(splits))
-    )
+    """One partition per split up to _MAX_SPLIT_TASKS, preserving LPT
+    order (repartition would randomize it; parallelize keeps partition
+    i = splits[i], and Spark launches partitions in order).
+
+    Beyond the cap (a 100TB table has ~1M row groups), splits are
+    grouped STRIDED — partition p gets splits p, p+cap, p+2cap... — so
+    every partition holds the same blend of heavy and light row groups
+    (contiguous slicing would pile all the heavy LPT-front splits into
+    partition 0)."""
+    pairs = [(p, g) for p, g, _ in splits]
+    n = len(pairs)
+    cap = _MAX_SPLIT_TASKS
+    if n > cap:
+        # strided reorder: contiguous numSlices slicing then hands each
+        # partition an (approximately) even blend of heavy and light
+        # splits from across the LPT order
+        reordered = []
+        for p in range(cap):
+            reordered.extend(pairs[p::cap])
+        pairs = reordered
+        nslices = cap
+    else:
+        nslices = max(1, n)
+    rdd = spark.sparkContext.parallelize(pairs, nslices)
     return spark.createDataFrame(rdd, "path string, row_group int")
 
 

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""spark-submit entry point: decode an encoded table back to tokens.
+
+    python scripts/decode_submit.py --input out/ --output tokens.parquet
+    spark-submit --py-files tokseq.zip scripts/decode_submit.py \
+        --input s3://bucket/encoded-root --output s3://bucket/tokens
+
+--input is the EncodeJob out_dir (containing encoded/ + manifest/).
+Writes (doc_id string, tokens array<int>) reassembled documents; pass
+--chunks to keep chunk granularity (doc_id, chunk_idx, chunk_tokens)
+instead (the streaming-friendly shape; see decode.py scale note).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="EncodeJob out_dir")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--chunks", action="store_true",
+                    help="emit chunk rows instead of reassembled docs")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from tokseq.engine import get_spark
+    from tokseq.engine.decode import decode_chunks, reassemble_docs
+
+    spark = get_spark(cores=args.cores, app_name="tokseq-decode")
+    enc = spark.read.parquet(f"{args.input}/encoded").dropDuplicates(
+        ["doc_id", "chunk_idx"]
+    )
+    decoded = decode_chunks(enc)
+    out = decoded if args.chunks else reassemble_docs(decoded)
+    out.write.mode("overwrite").parquet(args.output)
+
+    back = spark.read.parquet(args.output)
+    col = "chunk_tokens" if args.chunks else "tokens"
+    row = back.agg(
+        F.count("*").alias("rows"), F.sum(F.size(col)).alias("tokens")
+    ).collect()[0]
+    print(json.dumps({"rows": row["rows"], "tokens": int(row["tokens"] or 0)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,7 @@ from .manifest import (
     codec_summary,
     partition_manifest,
 )
-from .resume import DEFAULT_BUCKETS, pending_docs, with_bucket
+from .resume import DEFAULT_BUCKETS, pending_plan, with_bucket
 from .verify import count_mismatches
 
 
@@ -91,11 +91,12 @@ class EncodeJob:
 
     # --- the job ---
     def plan(self, docs: DataFrame, resume: bool = False) -> DataFrame:
-        """(Optionally) drop already-complete docs, then produce the
-        hybrid chunk plan (whole docs + pre-exploded giants)."""
+        """Produce the hybrid chunk plan (whole docs + pre-exploded
+        giants). On resume, small docs re-plan at doc granularity and
+        giants at chunk granularity (resume.pending_plan)."""
         docs = with_bucket(docs, self.n_buckets)
         if resume:
-            docs = pending_docs(
+            return pending_plan(
                 docs, self._read_manifest(), self.chunk_width, self.n_buckets
             )
         return plan_chunks(docs, self.chunk_width)

@@ -34,6 +34,38 @@ def expected_chunks(chunk_width: int):
     )
 
 
+def pending_plan(
+    docs: DataFrame,
+    manifest: DataFrame | None,
+    chunk_width: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+    big_factor: int | None = None,
+) -> DataFrame:
+    """Resume-aware hybrid chunk plan.
+
+    Small docs resume at DOC granularity (an incomplete small doc is
+    re-encoded whole — a handful of chunks). BIG docs (the pre-exploded
+    giants) resume at CHUNK granularity: only their missing chunks are
+    re-encoded — at 10^8 tokens a doc-level retry would redo ~25k
+    chunks for one missing one. Returns plan_chunks-shaped rows."""
+    from .chunk import DEFAULT_BIG_FACTOR, chunk_docs, plan_chunks
+
+    if big_factor is None:
+        big_factor = DEFAULT_BIG_FACTOR
+    threshold = int(chunk_width) * int(big_factor)
+
+    pend = pending_docs(docs, manifest, chunk_width, n_buckets).drop("bucket")
+    small_plan = plan_chunks(pend.filter(F.col("n_tok") <= threshold), chunk_width)
+    big_chunks = chunk_docs(pend.filter(F.col("n_tok") > threshold), chunk_width)
+    if manifest is not None:
+        big_chunks = big_chunks.join(
+            manifest.select("doc_id", "chunk_idx"),
+            ["doc_id", "chunk_idx"],
+            "left_anti",
+        )
+    return small_plan.unionByName(big_chunks)
+
+
 def pending_docs(
     docs: DataFrame,
     manifest: DataFrame | None,

@@ -45,7 +45,7 @@ def sf_of(sf_dir: str) -> float:
 
 
 def corpus_path(scale: float) -> str:
-    return f"/tmp/tokseq_bench/corpus_s{scale:g}_seed{SEED}.parquet"
+    return f"/tmp/tokseq_bench/corpus_v2_s{scale:g}_seed{SEED}.parquet"
 
 
 def ensure_corpus(scale: float) -> str:

@@ -87,6 +87,41 @@ def _source_textish(rng, n_docs):
     return lens, _zipf_tokens(rng, int(lens.sum()), VOCAB_TEXT)
 
 
+def _source_phrases(rng, n_docs):
+    """Documents stitched from a 400-phrase bank (8..32 tokens each,
+    16-bit values): high token-level cardinality (dict loses), no runs
+    (rle loses), near-uniform bit widths (split ~= bitpack) — but long
+    REPEATED byte-grams, the regime the FSST-style codec exists for."""
+    lens = rng.integers(200, 3000, n_docs)
+    total = int(lens.sum())
+    n_bank = 100
+    bank = [rng.integers(0, 1 << 16, int(rng.integers(8, 33))) for _ in range(n_bank)]
+    bank_vals = np.concatenate(bank)
+    bank_len = np.array([len(b) for b in bank])
+    bank_off = np.concatenate(([0], np.cumsum(bank_len)))[:-1]
+    n_draws = total // 8 + n_docs + 1
+
+    def _draw(k):
+        # zipf-ish phrase popularity (log-uniform rank): a few phrases
+        # dominate, as in natural text
+        return np.minimum(
+            np.exp(rng.random(k) * np.log(n_bank)).astype(np.int64) - 1, n_bank - 1
+        )
+
+    ids = _draw(n_draws)
+    while int(bank_len[ids].sum()) < total:
+        ids = np.concatenate([ids, _draw(n_draws)])
+    lens_per = bank_len[ids]
+    out_off = np.concatenate(([0], np.cumsum(lens_per)))[:-1]
+    m = int(lens_per.sum())
+    idx = (
+        np.arange(m, dtype=np.int64)
+        - np.repeat(out_off, lens_per)
+        + np.repeat(bank_off[ids], lens_per)
+    )
+    return lens, bank_vals[idx][:total]
+
+
 def _source_heavytail(rng, n_docs, giant_doc_tokens: int = 0):
     lens = np.minimum(rng.lognormal(5.5, 2.0, n_docs), 2_000_000).astype(np.int64)
     if giant_doc_tokens and n_docs:
@@ -101,6 +136,7 @@ _SOURCES = {
     "runs": _source_runs,
     "narrowrange": _source_narrowrange,
     "textish": _source_textish,
+    "phrases": _source_phrases,
     "heavytail": _source_heavytail,
 }
 
@@ -112,6 +148,7 @@ _BASE_COUNTS = {
     "runs": 150,
     "narrowrange": 150,
     "textish": 300,
+    "phrases": 150,
     "heavytail": 60,
 }
 

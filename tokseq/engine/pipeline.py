@@ -1,6 +1,10 @@
 """End-to-end encode job: scan → chunk → resume-filter → salted
 repartition → encode → write encoded table + manifests.
 
+Input contract: doc_id values must be unique (they are the resume and
+reassembly key). Duplicate ids are not silently merged — the roundtrip
+verify join reports them as mismatches.
+
 Storage goes through a tiny shim: Parquet paths locally; the same
 DataFrames write to an Iceberg catalog table unchanged when one is
 configured (`spark.read.table` / `writeTo`) — there is no Iceberg
@@ -63,6 +67,10 @@ class EncodeJob:
         enable_fsst: bool = True,
         num_partitions: int | None = None,
     ):
+        if chunk_width < 16:
+            # W=1-ish widths explode row counts (one row per token) and
+            # drown the engine in per-chunk headers
+            raise ValueError(f"chunk_width must be >= 16, got {chunk_width}")
         self.spark = spark
         self.out_dir = out_dir
         self.chunk_width = chunk_width

@@ -97,41 +97,54 @@ def _group_geometry(width: int) -> tuple[int, int]:
     return L // width, L // 64
 
 
-def _pack_words(v: np.ndarray, width: int, n: int) -> bytes:
+def _lane_geometry(width: int):
+    """Per-lane shift/word-index tables for one lcm(w,64) group."""
     g, W = _group_geometry(width)
+    lanes = np.arange(g, dtype=np.int64)
+    bit = lanes * width
+    wi = (bit // 64).astype(np.int64)
+    sh = (bit % 64).astype(np.uint64)
+    spill = sh.astype(np.int64) + width - 64  # >0: lane straddles words
+    # first lane of each word-index group (wi is nondecreasing)
+    starts = np.flatnonzero(np.diff(wi, prepend=-1))
+    return g, W, wi, sh, spill, starts
+
+
+def _pack_words(v: np.ndarray, width: int, n: int) -> bytes:
+    g, W, wi, sh, spill, starts = _lane_geometry(width)
     ngroups = (n + g - 1) // g
     vp = np.zeros(ngroups * g, dtype=np.uint64)
     vp[:n] = v
     m = vp.reshape(ngroups, g)
-    words = np.zeros((ngroups, W), dtype=np.uint64)
-    for lane in range(g):
-        bit = lane * width
-        wi, sh = bit // 64, bit % 64
-        words[:, wi] |= m[:, lane] << np.uint64(sh)
-        spill = sh + width - 64
-        if spill > 0:
-            words[:, wi + 1] |= m[:, lane] >> np.uint64(width - spill)
+    # all lanes at once: shift into place, OR-reduce lanes sharing a
+    # word (wi groups are contiguous -> bitwise_or.reduceat segments)
+    lo = m << sh[None, :]
+    words = np.bitwise_or.reduceat(lo, starts, axis=1)
+    has = spill > 0
+    if has.any():
+        hi = np.zeros_like(m)
+        hi[:, has] = m[:, has] >> (np.uint64(width) - spill[has].astype(np.uint64))
+        words_hi = np.bitwise_or.reduceat(hi, starts, axis=1)
+        words[:, 1:] |= words_hi[:, :-1]
     return words.tobytes()[: packed_size(n, width)]
 
 
 def _unpack_words(buf: bytes, width: int, n: int) -> np.ndarray:
-    g, W = _group_geometry(width)
+    g, W, wi, sh, spill, _ = _lane_geometry(width)
     ngroups = (n + g - 1) // g
     raw = np.zeros(ngroups * W * 8, dtype=np.uint8)
     raw[: packed_size(n, width)] = np.frombuffer(
         buf, np.uint8, count=packed_size(n, width)
     )
     words = raw.view("<u8").reshape(ngroups, W)
-    out = np.empty((ngroups, g), dtype=np.uint64)
     mask = np.uint64((1 << width) - 1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
-    for lane in range(g):
-        bit = lane * width
-        wi, sh = bit // 64, bit % 64
-        x = words[:, wi] >> np.uint64(sh)
-        spill = sh + width - 64
-        if spill > 0:
-            x = x | (words[:, wi + 1] << np.uint64(width - spill))
-        out[:, lane] = x & mask
+    out = words[:, wi] >> sh[None, :]
+    has = spill > 0
+    if has.any():
+        out[:, has] |= words[:, wi[has] + 1] << (
+            np.uint64(width) - spill[has].astype(np.uint64)
+        )
+    out &= mask
     return out.reshape(-1)[:n]
 
 

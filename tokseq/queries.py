@@ -1089,3 +1089,68 @@ def q_embedding_ivf_topk(spark, sf_dir):
 
 QUERIES["embedding_ivf_topk"] = q_embedding_ivf_topk
 # rows-only: k-means training is iterative, not SQL-expressible
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: same-LSH-bucket candidates with
+    rounded cosine >= 0.5 (vec_id1 < vec_id2). The LSH prefilter is
+    what makes this viable at 10^9 vectors — only bucket-mates are
+    scored."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    buckets = _lsh_buckets(spark, sf_dir)
+    embb = emb.join(buckets, "vec_id")
+    a = embb.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "tbl", "bucket"
+    )
+    b = embb.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), "tbl", "bucket"
+    )
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("v1") < F.col("v2"))
+        .dropDuplicates(["v1", "v2"])
+    )
+    dot = F.aggregate(
+        F.zip_with("e1", "e2", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        pairs.select(
+            "v1", "v2",
+            F.round(dot / (norm(F.col("e1")) * norm(F.col("e2"))), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.5)
+    )
+
+
+ORACLE_NEAR_DUP = f"""
+WITH buckets AS ({ORACLE_LSH_ASSIGN}),
+embb AS (
+  SELECT e.vec_id, e.embedding, b.tbl, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM embb a JOIN embb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT p.v1, p.v2,
+       ROUND(list_dot_product(x.embedding, y.embedding) /
+             (sqrt(list_dot_product(x.embedding, x.embedding)) *
+              sqrt(list_dot_product(y.embedding, y.embedding))), 4) AS cos
+FROM pairs p
+JOIN embeddings x ON x.vec_id = p.v1
+JOIN embeddings y ON y.vec_id = p.v2
+WHERE ROUND(list_dot_product(x.embedding, y.embedding) /
+            (sqrt(list_dot_product(x.embedding, x.embedding)) *
+             sqrt(list_dot_product(y.embedding, y.embedding))), 4) >= 0.5
+"""
+
+QUERIES["embedding_near_dup"] = q_embedding_near_dup
+ORACLES["embedding_near_dup"] = ORACLE_NEAR_DUP

@@ -1154,3 +1154,35 @@ WHERE ROUND(list_dot_product(x.embedding, y.embedding) /
 
 QUERIES["embedding_near_dup"] = q_embedding_near_dup
 ORACLES["embedding_near_dup"] = ORACLE_NEAR_DUP
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Vocabulary frequency analysis: top-50 words across the corpus
+    with deterministic ordering (count desc, word asc) — the
+    tokenizer-vocabulary-building stage of a training pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = words.groupBy("w").agg(F.count("*").alias("n"))
+    wnd = Window.orderBy(F.desc("n"), F.asc("w"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "w", "n")
+    )
+
+
+ORACLE_VOCAB = """
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+), counts AS (
+  SELECT w, COUNT(*) AS n FROM words WHERE w <> '' GROUP BY w
+), ranked AS (
+  SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS rank FROM counts
+)
+SELECT rank, w, n FROM ranked WHERE rank <= 50
+"""
+
+QUERIES["vocab_topk"] = q_vocab_topk
+ORACLES["vocab_topk"] = ORACLE_VOCAB

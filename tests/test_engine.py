@@ -113,3 +113,25 @@ def test_no_resume_means_full_reencode(spark, corpus_df, tmp_path):
     r1 = job.run(corpus_df)
     r2 = job.run(corpus_df, resume=True)  # manifest complete -> nothing pending
     assert r2.n_chunks == r1.n_chunks  # table unchanged (append of zero rows)
+
+
+def test_resume_duplicated_chunk_does_not_mask_missing(spark):
+    """Regression (ADVICE r2): the streaming path appends manifests
+    at-least-once, so a bucket holding one DUPLICATED chunk and one
+    MISSING chunk has planned_n == raw row count; counts must run over
+    the deduped (doc_id, chunk_idx) table or the missing doc is never
+    re-encoded."""
+    docs = spark.createDataFrame(
+        [("a", list(range(20)), 20, "s"), ("b", list(range(20)), 20, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    # chunk_width=10 -> each doc expects chunks {0,1}; b's chunk 1 is
+    # missing while a's chunk 0 is duplicated (4 raw rows == planned 4)
+    manifest = spark.createDataFrame(
+        [("a", 0, 0), ("a", 0, 0), ("a", 1, 0), ("b", 0, 0)],
+        "doc_id string, chunk_idx int, bucket int",
+    )
+    pend = pending_docs(
+        docs.withColumn("bucket", F.lit(0)), manifest, chunk_width=10, n_buckets=1
+    )
+    assert {r.doc_id for r in pend.select("doc_id").collect()} == {"b"}

@@ -42,3 +42,25 @@ def test_point_lookup_matches_source(spark, corpus_df, tmp_path):
     )
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "doc_id" in plan
+
+
+def test_point_lookup_raises_on_chunk_gap(spark, corpus_df, tmp_path):
+    """Regression (ADVICE r2): a missing leading/interior chunk in the
+    touched range must raise, not silently misalign the slice."""
+    import pytest
+
+    out = str(tmp_path / "gap")
+    job = EncodeJob(spark, out, chunk_width=CHUNK_W, n_buckets=16)
+    job.run(corpus_df)
+    doc = (
+        corpus_df.filter(F.col("n_tok") > 2 * CHUNK_W + 10)
+        .select("doc_id").orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    )
+    # drop chunk 1 of a >=3-chunk doc, then read a range spanning 0..2
+    enc = spark.read.parquet(job.encoded_path)
+    kept = enc.filter(~((F.col("doc_id") == doc) & (F.col("chunk_idx") == 1))).toPandas()
+    gap_path = str(tmp_path / "gap_enc")
+    spark.createDataFrame(kept).write.parquet(gap_path)
+    with pytest.raises(ValueError, match="gap"):
+        point_lookup(spark, gap_path, doc, CHUNK_W - 5, CHUNK_W + 10,
+                     chunk_width=CHUNK_W, n_buckets=None)

@@ -121,3 +121,34 @@ def test_selected_size_never_exceeds_floor():
                        for c in chunks])
     assert (sel.est_bytes <= np.maximum(floors, sel.floor_bytes)).all()
     assert (sel.floor_bytes == floors).all()
+
+
+def test_stats_trailing_empty_chunk_exact():
+    """Regression (ADVICE r2): a batch ending in an empty chunk must not
+    truncate the last non-empty chunk's min/max reduction."""
+    values, offsets = make_batch([[5, 6, 1], []])
+    st = compute_chunk_stats(values, offsets)
+    assert st.vmin.tolist() == [1, 0]
+    assert st.vmax.tolist() == [6, 0]
+    assert st.n.tolist() == [3, 0]
+    # end-to-end: the same shape used to crash encode_batch_kernel
+    from tokseq.engine.encode import encode_batch_kernel
+
+    out = encode_batch_kernel(np.array([5, 6, 1], np.int64),
+                              np.array([0, 3, 3], np.int64))
+    assert out["n_values"].tolist() == [3, 0]
+    # floor for [5,6,1] is 3 values * 3 bits -> 2 bytes (+ exactness of
+    # vmax ensures the negative-token guard sees the real final value)
+    with pytest.raises(ValueError, match="negative"):
+        encode_batch_kernel(np.array([5, 6, -1], np.int64),
+                            np.array([0, 3, 3], np.int64))
+
+
+def test_stats_interior_and_multi_empty_chunks():
+    values, offsets = make_batch([[], [7], [], [], [2, 2, 9], []])
+    st = compute_chunk_stats(values, offsets)
+    assert st.vmin.tolist() == [0, 7, 0, 0, 2, 0]
+    assert st.vmax.tolist() == [0, 7, 0, 0, 9, 0]
+    assert st.n_runs.tolist() == [0, 1, 0, 0, 2, 0]
+    assert st.max_run.tolist() == [0, 1, 0, 0, 2, 0]
+    assert st.card.tolist() == [0, 1, 0, 0, 2, 0]

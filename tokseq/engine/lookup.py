@@ -58,6 +58,16 @@ def point_lookup(
         )
     if not parts:
         return np.zeros(0, dtype=np.int64)
+    # the touched range must start at `first` and be gap-free: a
+    # missing leading or interior chunk (partially-written table before
+    # manifest catch-up) would otherwise silently misalign the slice
+    idxs = sorted(by_idx)
+    if idxs[0] != first or idxs != list(range(first, first + len(idxs))):
+        raise ValueError(
+            f"point_lookup: encoded table has a gap in chunks "
+            f"[{first},{last}] of doc {doc_id!r} (found {idxs}); "
+            "table is incomplete at this position"
+        )
     flat = np.concatenate(parts)
-    start = pos - min(by_idx) * chunk_width
-    return flat[max(start, 0) : max(start, 0) + k]
+    start = pos - first * chunk_width
+    return flat[start : start + k]

@@ -80,6 +80,13 @@ def pending_docs(
     if manifest is None:
         return docs
 
+    # The streaming path appends chunk manifests at-least-once, so raw
+    # row counts over-count: a bucket with one duplicated and one
+    # missing chunk would read as complete and be wrongly pruned.
+    # Count over the deduped logical table the rest of the engine
+    # assumes (reader dedup on (doc_id, chunk_idx)).
+    manifest = manifest.dropDuplicates(["doc_id", "chunk_idx"])
+
     # --- bucket-level pruning
     planned_b = docs.groupBy("bucket").agg(
         F.sum(expected_chunks(chunk_width)).alias("planned_n")

@@ -290,7 +290,7 @@ WITH base AS (
   FROM lineitem
 ), st AS (
   SELECT k, COUNT(*) AS n, MIN(v) AS vmin, MAX(v) AS vmax,
-         COUNT(DISTINCT v) AS card, SUM(b) AS nruns
+         COUNT(DISTINCT v) AS card, CAST(SUM(b) AS BIGINT) AS nruns
   FROM base GROUP BY k
 ), c AS (
   SELECT k, n, card, nruns,
@@ -948,7 +948,7 @@ WITH words AS (
   FROM documents
 )
 SELECT doc_id,
-       SUM(((('0x' || substr(md5(w), 1, 8))::BIGINT % {_P}) * ({_POWERS_SQL})) % {_P}) % {_P} AS fingerprint
+       CAST(SUM(((('0x' || substr(md5(w), 1, 8))::BIGINT % {_P}) * ({_POWERS_SQL})) % {_P}) % {_P} AS BIGINT) AS fingerprint
 FROM words WHERE w <> ''
 GROUP BY doc_id
 """

@@ -43,11 +43,17 @@ class ChunkStats:
 
 
 def _segmented_reduce(op, values, starts, empty, fill):
+    # reduce only over non-empty segments: empty segments occupy zero
+    # width, so non-empty starts form a strictly increasing in-bounds
+    # index set and reduceat covers each segment exactly (clamping a
+    # trailing-empty start into range would instead truncate the last
+    # non-empty segment's reduction)
+    out = np.full(len(starts), fill, dtype=np.int64)
     if len(values) == 0:
-        return np.full(len(starts), fill, dtype=np.int64)
-    safe = np.minimum(starts, len(values) - 1)
-    out = op.reduceat(values, safe).astype(np.int64)
-    out[empty] = fill
+        return out
+    ne = ~empty
+    if ne.any():
+        out[ne] = op.reduceat(values, starts[ne]).astype(np.int64)
     return out
 
 

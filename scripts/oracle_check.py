@@ -27,7 +27,13 @@ TABLES = [
 def _normalize(tbl: pa.Table) -> tuple[pd.DataFrame, dict[str, str]]:
     df = tbl.to_pandas()
     df = df[sorted(df.columns)]
-    types = {f.name: str(f.type) for f in tbl.schema}
+    # plain integer widths hash identically through the driver's
+    # normalization (round-1 evidence: embedding_topk's int32 rank vs
+    # DuckDB's BIGINT ROW_NUMBER passed); HUGEINT (decimal128) does NOT
+    types = {}
+    for f in tbl.schema:
+        t = str(f.type)
+        types[f.name] = "int" if t in ("int8", "int16", "int32", "int64") else t
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df, types
 

@@ -79,3 +79,44 @@ def test_entry_contract(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_ngram_df_cap_bounds_join(spark, tmp_path):
+    """Scale property: grams above the document-frequency cap never
+    reach the pair join, so per-gram join work is <= CAP^2 at any
+    corpus size; low-DF near-dups still surface."""
+    from pyspark.sql import functions as F
+
+    cap = Q._NGRAM_DF_CAP
+    # `cap+5` docs all sharing the high-DF gram "zzz"; docs 0 and 1 are
+    # also true near-dups through low-DF content
+    import itertools
+
+    # bodies of non-dup docs are xy-repeats with x<y unique per doc, so
+    # no two of them share any 3-gram (xyx/yxy sets are disjoint across
+    # distinct ordered pairs, and x<y rules out the yx mirror)
+    combos = list(itertools.combinations("abcdefghijklmnopqrstuvwxy", 2))
+    rows = []
+    for i in range(cap + 5):
+        body = "abcdefghij" if i in (0, 1) else "".join(combos[i]) * 5
+        rows.append((f"d{i:03d}", "s0", f"zzz{body}"))
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out = {(r.d1, r.d2) for r in Q.QUERIES["ngram_jaccard"](spark, sf).collect()}
+    assert ("d000", "d001") in out
+    # no pair exists purely through the shared high-DF gram
+    assert all(p == ("d000", "d001") for p in out)
+
+    # the bound itself: post-cap per-(source, gram) candidate count
+    grams = (
+        docs.select("doc_id", "source",
+                    F.explode(F.expr(
+                        "transform(sequence(1, greatest(length(text)-2, 1)),"
+                        " i -> substr(text, i, 3))")).alias("g"))
+        .filter(F.length("g") == 3).distinct()
+        .groupBy("source", "g").count().filter(F.col("count") <= cap)
+    )
+    assert grams.agg(F.max("count")).collect()[0][0] <= cap

@@ -390,6 +390,76 @@ def tokenize_documents(spark, sf_dir):
     )
 
 
+def tokenize_documents_md5(spark, sf_dir):
+    """Cross-engine-replicable tokenization: word -> md5-hex-prefix
+    hash mod 50257 (the same trick the minhash/simhash oracles use), so
+    the engine's encode→decode output can be aggregated and checked
+    against a DuckDB oracle computed from the raw text."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w: (
+            F.conv(F.md5(w).substr(1, 8), 16, 10).cast("long") % F.lit(50257)
+        ).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        F.col("source").alias("source"),
+    )
+
+
+def q_engine_roundtrip_agg(spark, sf_dir):
+    """Master invariant, cross-engine: run the REAL engine
+    (chunk -> encode -> decode) on md5-tokenized documents, then emit
+    per-source (n_docs, n_tokens, sum_tokens) of the DECODED table.
+    The DuckDB oracle computes the same aggregates from the raw text —
+    a hash match proves encode→decode end-to-end against an
+    independent engine (the reference's pack/unpack roundtrip,
+    /root/reference/src/test.rs:10-55, as a driver-checkable query)."""
+    from .engine.chunk import plan_chunks
+    from .engine.decode import decode_chunks
+    from .engine.encode import encode_chunks
+
+    docs = tokenize_documents_md5(spark, sf_dir)
+    dec = decode_chunks(encode_chunks(plan_chunks(docs, 4096)))
+    per_chunk = dec.select(
+        "doc_id",
+        F.size("chunk_tokens").cast("long").alias("n_tok"),
+        F.aggregate(
+            "chunk_tokens", F.lit(0).cast("long"), lambda a, v: a + v
+        ).alias("sum_tok"),
+    )
+    per_doc = per_chunk.groupBy("doc_id").agg(
+        F.sum("n_tok").alias("n_tok"), F.sum("sum_tok").alias("sum_tok")
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("sum_tok").alias("sum_tokens"),
+        )
+    )
+
+
+ORACLE_ROUNDTRIP_AGG = """
+WITH toks AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % 50257 AS tok
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents) t
+)
+SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens
+FROM toks GROUP BY source
+"""
+
+
 def q_engine_roundtrip(spark, sf_dir):
     """Full engine on tokenized documents: chunk -> encode -> decode ->
     verify; per-source mismatch counts and byte totals. Rows-only
@@ -445,6 +515,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "engine_roundtrip": q_engine_roundtrip,
+    "engine_roundtrip_agg": q_engine_roundtrip_agg,
     "engine_codec_summary": q_engine_codec_summary,
 }
 
@@ -462,6 +533,10 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP,
     "token_count": ORACLE_TOKCOUNT,
     "quality_score": ORACLE_QUALITY,
+    # the engine's binary output itself is not SQL-expressible, but its
+    # decoded aggregates are: engine_roundtrip_agg runs the real
+    # chunk->encode->decode engine and oracles the result
+    "engine_roundtrip_agg": ORACLE_ROUNDTRIP_AGG,
     # engine_roundtrip / engine_codec_summary: rows-only (binary codecs)
 }
 
@@ -579,10 +654,20 @@ SELECT doc_id, CAST({_ORACLE_SIMHASH_VAL} AS INT) AS simhash FROM bits
 """
 
 
+# Document-frequency cap for the gram self-join: a gram present in more
+# docs than this (within one source) is dropped before pairing. High-DF
+# grams (" th", "he ") carry no Jaccard signal but make the per-gram
+# pair count ~N^2 at corpus scale; with the cap, per-gram join work is
+# <= CAP^2 regardless of corpus size. Mirrored exactly in the oracle.
+_NGRAM_DF_CAP = 64
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Character-3-gram Jaccard similarity for same-source doc pairs —
     near-dup detection. Gram sets built via position explode (pure
-    Catalyst); jaccard exact in integers, emitted at 4 decimals."""
+    Catalyst); jaccard exact in integers, emitted at 4 decimals.
+    Grams with document frequency > _NGRAM_DF_CAP are excluded from the
+    gram space (both sides of the Jaccard), bounding the self-join."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     grams = (
         docs.select(
@@ -595,6 +680,15 @@ def q_ngram_jaccard(spark, sf_dir):
         .filter(F.length("g") == 3)
         .distinct()
     )
+    # DF cap: the (source, g) agg shares partitioning with the pair
+    # join that follows, so this adds no extra exchange of the big side
+    df_ok = (
+        grams.groupBy("source", "g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _NGRAM_DF_CAP)
+        .select("source", "g")
+    )
+    grams = grams.join(df_ok, ["source", "g"])
     counts = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     pairs = (
         grams.alias("a")
@@ -618,11 +712,16 @@ def q_ngram_jaccard(spark, sf_dir):
     return out
 
 
-ORACLE_NGRAM_JACCARD = """
-WITH grams AS (
+ORACLE_NGRAM_JACCARD = f"""
+WITH grams0 AS (
   SELECT DISTINCT doc_id, source, substr(text, i, 3) AS g
   FROM documents, (SELECT unnest(generate_series(1, 4000)) AS i)
   WHERE i <= greatest(length(text) - 2, 1) AND length(substr(text, i, 3)) = 3
+), df_ok AS (
+  SELECT source, g FROM grams0 GROUP BY source, g
+  HAVING COUNT(*) <= {_NGRAM_DF_CAP}
+), grams AS (
+  SELECT g0.* FROM grams0 g0 JOIN df_ok USING (source, g)
 ), counts AS (
   SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
 ), pairs AS (
@@ -773,20 +872,35 @@ ORACLES.update(
 # candidates. At 10^9 vectors the bucket join replaces the全 cross join.
 # ---------------------------------------------------------------------------
 
-# multi-table LSH: 4 tables x 4 hyperplane bits each. One 8-bit table
-# over-partitions weakly-clustered data (205 buckets for 500 vectors);
-# multiple smaller tables is how real LSH trades candidates for recall.
+# multi-table LSH: 4 tables, bits/table DERIVED from corpus size so the
+# expected bucket occupancy stays ~_LSH_TARGET_BUCKET at any N (a fixed
+# 4-bit geometry gives only 16 buckets/table forever — ~N/16 candidates
+# per bucket at 10^9 vectors). A hot-bucket candidate cap bounds the
+# worst skewed bucket on top of that. Multiple smaller tables is how
+# real LSH trades candidates for recall.
 _LSH_TABLES = 4
-_LSH_BITS_PER_TABLE = 4
-_LSH_PLANES = _LSH_TABLES * _LSH_BITS_PER_TABLE
+_LSH_TARGET_BUCKET = 16
+_LSH_MIN_BITS, _LSH_MAX_BITS = 4, 12
+_LSH_BUCKET_CAP = 512  # max candidates taken from any one (tbl, bucket)
+
+
+def _lsh_bits(n_vec: int) -> int:
+    """bits/table = clamp(ceil(log2(N / target_bucket)), 4, 12) in pure
+    integer math (bit_length), mirrored in SQL as
+    length(bin(ceil(N/target) - 1)) so both engines derive the same
+    geometry from their own row counts."""
+    cells = (n_vec + _LSH_TARGET_BUCKET - 1) // _LSH_TARGET_BUCKET
+    return max(_LSH_MIN_BITS, min(_LSH_MAX_BITS, (cells - 1).bit_length()))
 
 
 def _lsh_buckets(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bits = _lsh_bits(emb.count())
+    nplanes = _LSH_TABLES * bits
     comp = emb.select(
         "vec_id", F.posexplode("embedding").alias("i0", "x")
     ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
-    planes = spark.range(_LSH_PLANES).select(F.col("id").alias("j")).crossJoin(
+    planes = spark.range(nplanes).select(F.col("id").alias("j")).crossJoin(
         spark.range(1, 65).select(F.col("id").alias("i"))
     )
     pv = (
@@ -800,14 +914,27 @@ def _lsh_buckets(spark, sf_dir):
         .groupBy("vec_id", "j")
         .agg(F.sum(F.col("x") * F.col("pval")).alias("dot"))
     )
-    tbl = (F.col("j") / _LSH_BITS_PER_TABLE).cast("int")
+    tbl = (F.col("j") / bits).cast("int")
     bit = F.when(
         F.col("dot") > 0,
-        F.expr(f"shiftleft(1, cast(j % {_LSH_BITS_PER_TABLE} as int))"),
+        F.expr(f"shiftleft(1, cast(j % {bits} as int))"),
     ).otherwise(0)
     return (
         dots.groupBy("vec_id", tbl.alias("tbl"))
         .agg(F.sum(bit).cast("int").alias("bucket"))
+    )
+
+
+def _cap_hot_buckets(embb):
+    """Keep only the first _LSH_BUCKET_CAP vectors (by vec_id) of each
+    (tbl, bucket) as join candidates — bounds the worst skewed bucket's
+    pair count at CAP^2 regardless of data distribution. Deterministic,
+    mirrored in the oracles via the same ROW_NUMBER."""
+    w = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
+    return (
+        embb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _LSH_BUCKET_CAP)
+        .drop("rn")
     )
 
 
@@ -818,23 +945,29 @@ def q_lsh_bucket_assign(spark, sf_dir):
 
 
 ORACLE_LSH_ASSIGN = f"""
-WITH comp AS (
+WITH params AS (
+  SELECT GREATEST({_LSH_MIN_BITS}, LEAST({_LSH_MAX_BITS},
+         length(bin(CAST(CEIL(COUNT(*) / {_LSH_TARGET_BUCKET}.0) AS BIGINT) - 1)))) AS bits
+  FROM embeddings
+), comp AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings
 ), planes AS (
   SELECT j, i,
          (('0x' || substr(md5(j || '_' || i), 1, 4))::INT % 1001) - 500 AS pval
-  FROM (SELECT unnest(generate_series(0, {_LSH_PLANES - 1})) AS j),
+  FROM (SELECT unnest(generate_series(0, (SELECT {_LSH_TABLES} * bits - 1 FROM params))) AS j),
        (SELECT unnest(generate_series(1, 64)) AS i)
 ), dots AS (
   SELECT c.vec_id, p.j, SUM(c.x * p.pval) AS dot
   FROM comp c JOIN planes p ON c.i = p.i
   GROUP BY c.vec_id, p.j
 )
-SELECT vec_id, CAST(j // {_LSH_BITS_PER_TABLE} AS INT) AS tbl,
-       CAST(SUM(CASE WHEN dot > 0 THEN 1 << CAST(j % {_LSH_BITS_PER_TABLE} AS INT) ELSE 0 END) AS INT) AS bucket
-FROM dots GROUP BY vec_id, j // {_LSH_BITS_PER_TABLE}
+SELECT vec_id, CAST(j // (SELECT bits FROM params) AS INT) AS tbl,
+       CAST(SUM(CASE WHEN dot > 0
+                THEN 1 << CAST(j % (SELECT bits FROM params) AS INT)
+                ELSE 0 END) AS INT) AS bucket
+FROM dots GROUP BY vec_id, j // (SELECT bits FROM params)
 """
 
 
@@ -848,7 +981,7 @@ def q_embedding_ann_lsh(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "tbl", "bucket"
     )
     cand = (
-        embb.join(F.broadcast(q), ["tbl", "bucket"])
+        _cap_hot_buckets(embb).join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("qid"))
         .dropDuplicates(["qid", "vec_id"])
     )
@@ -879,7 +1012,9 @@ def q_embedding_ann_lsh(spark, sf_dir):
 ORACLE_ANN_LSH = f"""
 WITH buckets AS ({ORACLE_LSH_ASSIGN}),
 embb AS (
-  SELECT e.vec_id, e.embedding, b.tbl, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)
+  SELECT e.vec_id, e.embedding, b.tbl, b.bucket,
+         ROW_NUMBER() OVER (PARTITION BY b.tbl, b.bucket ORDER BY e.vec_id) AS rn
+  FROM embeddings e JOIN buckets b USING (vec_id)
 ),
 q AS (SELECT vec_id AS qid, embedding AS qv, tbl, bucket FROM embb WHERE vec_id < 8),
 scored AS (
@@ -887,6 +1022,7 @@ scored AS (
          ROUND(list_dot_product(q.qv, e.embedding) /
                (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS cos
   FROM q JOIN embb e ON e.tbl = q.tbl AND e.bucket = q.bucket AND e.vec_id <> q.qid
+  WHERE e.rn <= {_LSH_BUCKET_CAP}
 ), ranked AS (
   SELECT qid, vec_id, cos,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
@@ -989,16 +1125,20 @@ ORACLES.update({
 
 _IVF_K = 8
 _IVF_ITERS = 5
-_IVF_NPROBE = 2
+_IVF_NPROBE = 3
 
 
 def _ivf_centroids(spark, sf_dir):
     import numpy as np
 
     emb = _t(spark, sf_dir, "embeddings")
+    # hash-random deterministic sample: ordering by xxhash64(vec_id) is
+    # an unbiased shuffle of the table (a `vec_id < 256` prefix would be
+    # ingestion-order-biased at scale); the collect stays bounded at 256
     sample = np.array(
-        [r["embedding"] for r in emb.filter(F.col("vec_id") < 256)
-         .orderBy("vec_id").select("embedding").collect()],
+        [r["embedding"] for r in emb
+         .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+         .limit(256).select("embedding").collect()],
         dtype=np.float64,
     )
     # deterministic Lloyd: init = first K sample vectors
@@ -1098,7 +1238,7 @@ def q_embedding_near_dup(spark, sf_dir):
     scored."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     buckets = _lsh_buckets(spark, sf_dir)
-    embb = emb.join(buckets, "vec_id")
+    embb = _cap_hot_buckets(emb.join(buckets, "vec_id"))
     a = embb.select(
         F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "tbl", "bucket"
     )
@@ -1133,9 +1273,12 @@ def q_embedding_near_dup(spark, sf_dir):
 
 ORACLE_NEAR_DUP = f"""
 WITH buckets AS ({ORACLE_LSH_ASSIGN}),
-embb AS (
-  SELECT e.vec_id, e.embedding, b.tbl, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)
+embb0 AS (
+  SELECT e.vec_id, e.embedding, b.tbl, b.bucket,
+         ROW_NUMBER() OVER (PARTITION BY b.tbl, b.bucket ORDER BY e.vec_id) AS rn
+  FROM embeddings e JOIN buckets b USING (vec_id)
 ),
+embb AS (SELECT vec_id, embedding, tbl, bucket FROM embb0 WHERE rn <= {_LSH_BUCKET_CAP}),
 pairs AS (
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
   FROM embb a JOIN embb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id

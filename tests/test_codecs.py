@@ -149,3 +149,62 @@ def test_codec_independence():
         outs[name] = codec.decode(enc.payload, len(v), enc.bit_width, enc.min_val)
     for name, out in outs.items():
         assert np.array_equal(out, v), name
+
+
+# --- Elias-Fano (reference PackedEfNSeqVec parity, packed_ef_n_seq.rs) ------
+
+def test_ef_frozen_format():
+    """Hand-computed golden layout: positions [2,3,5,7,11,13,24] in
+    universe 30 -> l = floor(log2(30/7)) = 2; lower 2-bit stream
+    [2,3,1,3,3,1,0] = de 07; upper unary bitmap has ones at
+    (p>>2)+i = [0,1,3,4,6,8,12] over 7+(30>>2)+1 = 15 bits = 5b 11."""
+    from tokseq.codecs.ef import ef_decode, ef_encode
+
+    pos = np.array([2, 3, 5, 7, 11, 13, 24], np.int64)
+    upper, lower, l = ef_encode(pos, 30)
+    assert l == 2
+    assert upper == bytes.fromhex("5b11")
+    assert lower == bytes.fromhex("de07")
+    assert np.array_equal(ef_decode(upper, lower, 7, 30, l), pos)
+
+
+def test_ef_positions_fuzz():
+    from tokseq.codecs.ef import ef_decode, ef_encode
+
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        u = int(rng.integers(1, 100_000))
+        n = int(rng.integers(0, min(u, 500) + 1))
+        pos = np.sort(rng.choice(u, n, replace=False)).astype(np.int64)
+        upper, lower, l = ef_encode(pos, u)
+        assert np.array_equal(ef_decode(upper, lower, n, u, l), pos)
+        if n:
+            # size within the EF bound: n*(2 + l) + universe>>l + 1 bits
+            assert len(upper) * 8 <= n + (u >> l) + 1 + 7
+            assert len(lower) * 8 <= n * l + 7
+
+
+def test_selector_prefers_pfor_ef_on_sparse_exceptions():
+    """The exc1pct regime (dense narrow base + ~1% wide exceptions)
+    must now select the true-EF variant: its position cost
+    n_exc*(l+1) + (n>>l) + 1 undercuts pfor's delta+bitpack estimate."""
+    from tokseq.selector import CODEC_NAMES, select
+    from tokseq.stats import compute_chunk_stats
+
+    rng = np.random.default_rng(5)
+    v = 1_000_000 + rng.integers(0, 64, 4096)
+    exc = rng.choice(4096, 40, replace=False)
+    v[exc] = rng.integers(1 << 20, 1 << 30, 40)
+    offsets = np.array([0, 4096], np.int64)
+    st = compute_chunk_stats(v.astype(np.int64), offsets)
+    sel = select(st, enable_fsst=False)
+    assert sel.names()[0] == "pfor_ef"
+    # and the actual encode at the selected width beats the pfor payload
+    from tokseq.codecs import get_codec
+    ef_payload = get_codec("pfor_ef").encode(v, base_width=int(sel.pfor_ef_width[0]))
+    pf_payload = get_codec("pfor").encode(v)
+    assert len(ef_payload.payload) <= len(pf_payload.payload)
+    back = get_codec("pfor_ef").decode(
+        ef_payload.payload, 4096, ef_payload.bit_width, ef_payload.min_val
+    )
+    assert np.array_equal(back, v)

@@ -54,6 +54,7 @@ GOLDEN_PAYLOADS = {
     "for": ("07007000000700000000010020000003000024f40700700000", 20, 0),
     "fsst": ("0402040205030000000000070507050704040501050205030540420f0007050705", 20, 0),
     "pfor": ("01000000030314ff110d3f0740420f", 3, 0),
+    "pfor_ef": ("01000000030314ff110d3f010740420f", 3, 0),
     "rle": ("0700000014020700000000010020000003000024f40700000210", 20, 0),
     "split": ("0314010000008000ff11ed0740420f", 20, 0),
 }

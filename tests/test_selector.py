@@ -84,7 +84,7 @@ def test_estimates_exact_for_exact_codecs():
     from tokseq.selector import estimate_sizes
 
     st = compute_chunk_stats(*make_batch(chunks))
-    sizes, _, split_w1 = estimate_sizes(st)
+    sizes, _, split_w1, _ = estimate_sizes(st)
     for i, c in enumerate(chunks):
         c = np.asarray(c, np.int64)
         for j, name in enumerate(CODEC_NAMES):
@@ -105,7 +105,7 @@ def test_pfor_estimate_is_upper_bound():
     st = compute_chunk_stats(*make_batch([v]))
     from tokseq.selector import estimate_sizes
 
-    sizes, pfor_wb, _ = estimate_sizes(st)
+    sizes, pfor_wb, _, _ = estimate_sizes(st)
     enc = get_codec("pfor").encode(v, base_width=int(pfor_wb[0]))
     assert len(enc.payload) <= sizes[CODEC_NAMES.index("pfor"), 0]
 

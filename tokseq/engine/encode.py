@@ -176,6 +176,8 @@ def _encode_subbatch(
         codec = get_codec(name)
         if name == "pfor":
             enc = codec.encode(v, base_width=int(sel.pfor_width[i]))
+        elif name == "pfor_ef":
+            enc = codec.encode(v, base_width=int(sel.pfor_ef_width[i]))
         elif name == "split":
             enc = codec.encode(v, low_width=int(sel.split_width[i]))
         else:

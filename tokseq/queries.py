@@ -76,6 +76,54 @@ FROM lineitem
 """
 
 
+def q_s3_revcomp(spark, sf_dir):
+    """S2/S3 whole-sequence reverse-complement as a first-class op
+    (tokseq.seqops.revcomp; reference ``to_revcomp``,
+    /root/reference/src/packed_seq.rs:537-579): per-user event-code
+    sequences are revcomp'd and re-exploded with positions. Emitting
+    the original code at each position alongside lets the oracle (and
+    the involution test) verify rc is a true mirror."""
+    from .seqops import revcomp
+
+    ev = _t(spark, sf_dir, "events")
+    code = (F.length("event_type") % 4).cast("int")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), code.alias("code")).alias("st"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("st")), lambda s: s.getField("code")
+            ).alias("s")
+        )
+    )
+    rc = seqs.select("user_id", "s", revcomp("s").alias("r"))
+    return rc.select(
+        "user_id", F.posexplode(F.arrays_zip("r", "s")).alias("pos", "z")
+    ).select(
+        "user_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("z.r").cast("int").alias("rc_code"),
+        F.col("z.s").cast("int").alias("orig_code"),
+    )
+
+
+ORACLE_S3 = """
+WITH seqs AS (
+  SELECT user_id, list(code ORDER BY ts, event_id) AS s
+  FROM (SELECT user_id, ts, event_id, length(event_type) % 4 AS code FROM events) t
+  GROUP BY user_id
+), rc AS (
+  SELECT user_id, s, list_transform(list_reverse(s), c -> xor(c, 2)) AS r FROM seqs
+)
+SELECT user_id, CAST(generate_subscripts(r, 1) - 1 AS INT) AS pos,
+       CAST(unnest(r) AS INT) AS rc_code, CAST(unnest(s) AS INT) AS orig_code
+FROM rc
+"""
+
+
 def q_s7_windowed_any(spark, sf_dir):
     """S7 `iter_kmer_ambiguity` analog: for each position, does any of
     the next k=5 rows carry the flag?
@@ -503,6 +551,7 @@ def q_engine_codec_summary(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_kmer_pack": q_e3_kmer_pack,
     "s1_complement_xor": q_s1_complement_xor,
+    "s3_revcomp": q_s3_revcomp,
     "s7_windowed_any": q_s7_windowed_any,
     "p2_lagged_delta": q_p2_lagged_delta,
     "rle_run_detect": q_rle_run_detect,
@@ -522,6 +571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "e3_kmer_pack": ORACLE_E3,
     "s1_complement_xor": ORACLE_S1,
+    "s3_revcomp": ORACLE_S3,
     "s7_windowed_any": ORACLE_S7,
     "p2_lagged_delta": ORACLE_P2,
     "rle_run_detect": ORACLE_RLE,

@@ -34,8 +34,9 @@ RLE_HDR = 6
 DICT_HDR = 6
 PFOR_HDR = 7
 SPLIT_HDR = 6
+PFOR_EF_HDR = 7
 
-CODEC_NAMES = ("bitpack", "for", "rle", "dict", "pfor", "split")
+CODEC_NAMES = ("bitpack", "for", "rle", "dict", "pfor", "split", "pfor_ef")
 
 
 def _w(x: np.ndarray) -> np.ndarray:
@@ -54,6 +55,7 @@ class Selection:
     floor_bytes: np.ndarray     # reference floor ceil(n*w/8)
     pfor_width: np.ndarray      # best base width per chunk (for pfor)
     split_width: np.ndarray     # best low width per chunk (for split)
+    pfor_ef_width: np.ndarray   # best base width per chunk (for pfor_ef)
     fsst_candidate: np.ndarray  # bool: worth try-encoding fsst
 
     def names(self) -> np.ndarray:
@@ -100,14 +102,31 @@ def estimate_sizes(st: ChunkStats) -> np.ndarray:
         + ((n - nl) * w_for + 7) // 8
     )
 
-    sizes = np.stack([bitpack, for_, rle, dict_, pfor, split])
+    # pfor_ef (true Elias-Fano exception positions,
+    # /root/reference/src/packed_ef_n_seq.rs:17-60): same base stream,
+    # EF position set of n_exc*(l+1) + (n>>l) + 1 bits with
+    # l = floor(log2(n / n_exc)) — beats pfor's delta+bitpack positions
+    # when the gap distribution is skewed (max gap >> mean gap)
+    exc_nz = np.maximum(exc_at, 1)
+    lvals = np.maximum(bit_length(n[:, None] // exc_nz) - 1, 0)
+    ef_pos_bits = np.where(
+        exc_at > 0, exc_at * (lvals + 1) + (n[:, None] >> lvals) + 1, 0
+    )
+    cost_ef = n[:, None] * widths + exc_at * w_for[:, None] + ef_pos_bits
+    cost_ef[:, 0] = np.iinfo(np.int64).max // 2  # wb >= 1
+    pfor_ef_wb = np.argmin(cost_ef, axis=1)
+    pfor_ef = PFOR_EF_HDR + (
+        np.take_along_axis(cost_ef, pfor_ef_wb[:, None], 1).ravel() + 7
+    ) // 8
+
+    sizes = np.stack([bitpack, for_, rle, dict_, pfor, split, pfor_ef])
     # empty chunks: zero payload whatever the codec; keep bitpack
     sizes[:, n == 0] = 0
-    return sizes, pfor_wb, split_w1
+    return sizes, pfor_wb, split_w1, pfor_ef_wb
 
 
 def select(st: ChunkStats, enable_fsst: bool = True) -> Selection:
-    sizes, pfor_wb, split_w1 = estimate_sizes(st)
+    sizes, pfor_wb, split_w1, pfor_ef_wb = estimate_sizes(st)
     # prefer lower codec index on ties -> bitpack wins ties (simplest decode)
     codec_idx = np.argmin(sizes, axis=0)
     est = np.take_along_axis(sizes, codec_idx[None, :], 0).ravel()
@@ -129,5 +148,6 @@ def select(st: ChunkStats, enable_fsst: bool = True) -> Selection:
         floor_bytes=floor,
         pfor_width=pfor_wb,
         split_width=split_w1,
+        pfor_ef_width=pfor_ef_wb,
         fsst_candidate=np.asarray(fsst_cand, dtype=bool),
     )

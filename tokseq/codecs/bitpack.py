@@ -58,16 +58,14 @@ def pack_bits_le(values: np.ndarray, width: int) -> bytes:
         return b""
     if not 1 <= width <= 64:
         raise ValueError(f"width must be in 1..64, got {width}")
-    work = np.uint32 if width <= 32 else np.uint64
-    v = np.ascontiguousarray(values, dtype=work)
     if width == 8:
-        return v.astype(np.uint8).tobytes()
+        return np.ascontiguousarray(values, dtype=np.uint8).tobytes()
     if width == 16:
-        return v.astype("<u2").tobytes()
+        return np.ascontiguousarray(values, dtype="<u2").tobytes()
     if width == 32:
-        return v.astype("<u4").tobytes()
+        return np.ascontiguousarray(values, dtype="<u4").tobytes()
     if width == 64:
-        return v.astype("<u8").tobytes()
+        return np.ascontiguousarray(values, dtype="<u8").tobytes()
     if width in (1, 2, 4):
         # strided OR-combine: g=8/w values per byte, no bit matrix.
         # This is the numpy rendering of the reference's pext body
@@ -75,18 +73,46 @@ def pack_bits_le(values: np.ndarray, width: int) -> bytes:
         # shifted into place and OR-merged per output byte.
         g = 8 // width
         nbytes = (n + g - 1) // g
-        vb = v.astype(np.uint8)
+        vb = np.ascontiguousarray(values, dtype=np.uint8)
         if n % g:
             vb = np.concatenate([vb, np.zeros(g - n % g, np.uint8)])
         out = vb[0::g].copy()
         for j in range(1, g):
             out |= vb[j::g] << np.uint8(j * width)
         return out[:nbytes].tobytes()
-    # generic path: word-lane packing. Groups of g = lcm(w,64)/w values
-    # fill exactly W = lcm(w,64)/64 u64 words; each lane shifts into
-    # its word (with a spill into the next when it straddles) — ~2
-    # vector ops per value, no bit matrix.
-    return _pack_words(v.astype(np.uint64), width, n)
+    if width < 32:  # all remaining widths < 32 (3,5,6,7, 9..15, 17..31)
+        return _pack_double(values, width, n)
+    # widths 33..64: word-lane packing. Groups of g = lcm(w,64)/w
+    # values fill exactly W = lcm(w,64)/64 u64 words; with w > 32 each
+    # word holds <= 2 lane starts and each word boundary is straddled
+    # by <= 1 lane, so the whole group is one gather + two
+    # distinct-column ORs — no segmented reduction.
+    return _pack_words(np.ascontiguousarray(values, dtype=np.uint64), width, n)
+
+
+def _pack_double(values, width: int, n: int) -> bytes:
+    """Pair-doubling pack for widths < 32 not on a fast path: fuse
+    value pairs into one 2w-bit field — the bit layout is unchanged
+    (field i of the pair stream covers exactly bits [2i*w, (2i+2)*w))
+    — until the width exceeds 32, then finish on the word-lane path.
+    Each level is two contiguous strided ops and HALVES the element
+    count (e.g. 3->6->12->24->48, 11->22->44); trailing padding bits
+    are zero, so truncating to the exact floor preserves the
+    zero-padded-tail format."""
+    levels = 0
+    w = width
+    while w <= 32:
+        w <<= 1
+        levels += 1
+    m = 1 << levels
+    npad = (n + m - 1) // m * m
+    vv = np.zeros(npad, dtype=np.uint64)
+    vv[:n] = values
+    w = width
+    for _ in range(levels):
+        vv = vv[0::2] | (vv[1::2] << np.uint64(w))
+        w <<= 1
+    return _pack_words(vv, w, len(vv))[: packed_size(n, width)]
 
 
 def _group_geometry(width: int) -> tuple[int, int]:
@@ -111,21 +137,29 @@ def _lane_geometry(width: int):
 
 
 def _pack_words(v: np.ndarray, width: int, n: int) -> bytes:
+    # only widths > 32 reach here (smaller widths pair-double first),
+    # which guarantees: every word has a lane starting in it, <= 2
+    # lanes start per word, and <= 1 lane straddles each boundary —
+    # all the column index sets below are therefore distinct.
     g, W, wi, sh, spill, starts = _lane_geometry(width)
     ngroups = (n + g - 1) // g
-    vp = np.zeros(ngroups * g, dtype=np.uint64)
-    vp[:n] = v
-    m = vp.reshape(ngroups, g)
-    # all lanes at once: shift into place, OR-reduce lanes sharing a
-    # word (wi groups are contiguous -> bitwise_or.reduceat segments)
+    if n == ngroups * g and v.dtype == np.uint64 and v.flags.c_contiguous:
+        m = v.reshape(ngroups, g)  # already group-aligned: no pad copy
+    else:
+        vp = np.zeros(ngroups * g, dtype=np.uint64)
+        vp[:n] = v
+        m = vp.reshape(ngroups, g)
     lo = m << sh[None, :]
-    words = np.bitwise_or.reduceat(lo, starts, axis=1)
+    words = lo[:, starts]  # first lane of each word (fancy gather = copy)
+    rest = np.ones(g, dtype=bool)
+    rest[starts] = False
+    if rest.any():
+        words[:, wi[rest]] |= lo[:, rest]
     has = spill > 0
     if has.any():
-        hi = np.zeros_like(m)
-        hi[:, has] = m[:, has] >> (np.uint64(width) - spill[has].astype(np.uint64))
-        words_hi = np.bitwise_or.reduceat(hi, starts, axis=1)
-        words[:, 1:] |= words_hi[:, :-1]
+        words[:, wi[has] + 1] |= m[:, has] >> (
+            np.uint64(width) - spill[has].astype(np.uint64)
+        )
     return words.tobytes()[: packed_size(n, width)]
 
 
@@ -169,4 +203,29 @@ def unpack_bits_le(buf: bytes, width: int, n: int) -> np.ndarray:
         for j in range(g):
             out[j::g] = (raw >> np.uint8(j * width)) & mask
         return out[:n].astype(np.uint64)
+    if width < 32:
+        return _unpack_double(buf, width, n)
     return _unpack_words(buf, width, n)
+
+
+def _unpack_double(buf: bytes, width: int, n: int) -> np.ndarray:
+    """Inverse of _pack_double: unpack at the doubled width, then split
+    each fused field back into its lane pair, level by level."""
+    levels = 0
+    w = width
+    while w <= 32:
+        w <<= 1
+        levels += 1
+    cnt = (n + (1 << levels) - 1) >> levels
+    need = packed_size(cnt, w)
+    if len(buf) < need:  # pack truncated zero padding; restore it
+        buf = bytes(buf) + b"\0" * (need - len(buf))
+    x = _unpack_words(buf, w, cnt)
+    while levels:
+        levels -= 1
+        w >>= 1
+        out = np.empty(2 * len(x), dtype=np.uint64)
+        out[0::2] = x & np.uint64((1 << w) - 1)
+        out[1::2] = x >> np.uint64(w)
+        x = out
+    return x[:n]

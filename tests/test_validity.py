@@ -66,3 +66,51 @@ def test_mask_docs_spark(spark):
         assert got["n"] == len(t)
         assert got["n_masked"] == int(m.sum())
         assert np.array_equal(unpack_mask(bytes(got["mask"]), len(t)), m)
+
+
+def test_mask_travels_through_encode_pipeline(spark):
+    """PackedNSeq pairing (reference packed_n_seq.rs:9-20) inside the
+    engine: docs carrying a per-token quality array get a 1-bit
+    validity bitmap per encoded chunk (null = all valid); the bitmap
+    survives encode -> write-shape -> decode and equals the
+    source-derived mask, while the token roundtrip is unchanged."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tokseq.engine.chunk import plan_chunks
+    from tokseq.engine.decode import decode_chunks, reassemble_docs
+    from tokseq.engine.encode import encode_chunks
+    from tokseq.engine.verify import count_mismatches
+    from tokseq.validity import build_mask, unpack_mask
+
+    rng = np.random.default_rng(21)
+    w = 64
+    rows, truth = [], {}
+    for i, n in enumerate([0, 1, w - 1, w, w + 5, 3 * w + 7]):
+        toks = rng.integers(0, 1000, n)
+        qual = rng.integers(0, 40, n)
+        rows.append((f"d{i}", [int(t) for t in toks], n, "s",
+                     [int(q) for q in qual]))
+        truth[f"d{i}"] = build_mask(toks, qual, quality_threshold=10)
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "quality array<int>",
+    )
+    enc = encode_chunks(plan_chunks(docs, w, big_factor=2), chunk_width=w)
+    dec = decode_chunks(enc, with_mask=True).collect()
+    for r in dec:
+        m = truth[r["doc_id"]][r["chunk_idx"] * w : r["chunk_idx"] * w + len(r["chunk_tokens"])]
+        if r["mask"] is None:
+            assert not m.any(), (r["doc_id"], r["chunk_idx"])
+        else:
+            assert np.array_equal(unpack_mask(bytes(r["mask"]), len(r["chunk_tokens"])), m)
+    # at threshold 10 and quality in [0,40), some chunks must carry bits
+    assert any(r["mask"] is not None for r in dec)
+    # token roundtrip unaffected
+    back = reassemble_docs(decode_chunks(encode_chunks(plan_chunks(docs, w), chunk_width=w)))
+    assert count_mismatches(docs.select("doc_id", "tokens"), back) == 0
+
+    # docs WITHOUT quality: mask column exists and is all-null
+    enc2 = encode_chunks(plan_chunks(docs.drop("quality"), w), chunk_width=w)
+    assert enc2.filter(F.col("mask").isNotNull()).count() == 0

@@ -35,13 +35,31 @@ DEFAULT_BIG_FACTOR = 16
 def chunk_docs(df: DataFrame, chunk_width: int = DEFAULT_CHUNK_WIDTH) -> DataFrame:
     """Full declarative explode: every doc becomes ceil(n/W) rows
     (min 1 so empty docs survive). Used for big docs, and directly in
-    tests as the reference planner."""
+    tests as the reference planner. A per-token ``quality`` array
+    column, when present, is sliced in lockstep (the PackedNSeq
+    validity stream travels with its tokens)."""
     w = int(chunk_width)
     n_chunks = F.greatest(F.ceil(F.col("n_tok") / F.lit(w)).cast("int"), F.lit(1))
-    slices = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(F.col("tokens"), i * w + 1, w),
-    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    if "quality" in df.columns:
+        zipped = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.slice(F.col("tokens"), i * w + 1, w).alias("t"),
+                F.slice(F.col("quality"), i * w + 1, w).alias("q"),
+            ),
+        )
+        ex = df.select(
+            "doc_id", "source", F.posexplode(zipped).alias("chunk_idx", "z")
+        )
+        return ex.select(
+            "doc_id",
+            "source",
+            "chunk_idx",
+            F.col("z.t").alias("chunk_tokens"),
+            F.col("z.q").alias("chunk_quality"),
+        )
+    slices = F.transform(idx, lambda i: F.slice(F.col("tokens"), i * w + 1, w))
     return df.select(
         "doc_id",
         "source",
@@ -58,12 +76,15 @@ def plan_chunks(
     normal docs carry chunk_idx=0 and their full token array (kernel
     re-chunks), big docs are pre-exploded into W-sized rows."""
     threshold = int(chunk_width) * int(big_factor)
-    small = df.filter(F.col("n_tok") <= threshold).select(
+    cols = [
         "doc_id",
         "source",
         F.lit(0).alias("chunk_idx"),
         F.col("tokens").alias("chunk_tokens"),
-    )
+    ]
+    if "quality" in df.columns:
+        cols.append(F.col("quality").alias("chunk_quality"))
+    small = df.filter(F.col("n_tok") <= threshold).select(*cols)
     big = chunk_docs(df.filter(F.col("n_tok") > threshold), chunk_width)
     return small.unionByName(big)
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..codecs import get_codec
 
 DECODED_SCHEMA = "doc_id string, chunk_idx int, chunk_tokens array<int>"
+DECODED_MASK_SCHEMA = DECODED_SCHEMA + ", mask binary"
 
 _DECODED_PA_SCHEMA = pa.schema(
     [
@@ -29,6 +30,7 @@ _DECODED_PA_SCHEMA = pa.schema(
         ("chunk_tokens", pa.list_(pa.int32())),
     ]
 )
+_DECODED_MASK_PA_SCHEMA = _DECODED_PA_SCHEMA.append(pa.field("mask", pa.binary()))
 
 
 def decode_batch_kernel(
@@ -53,7 +55,9 @@ def decode_batch_kernel(
     return flat, offsets
 
 
-def _decode_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _decode_map(
+    batches: Iterator[pa.RecordBatch], with_mask: bool = False
+) -> Iterator[pa.RecordBatch]:
     for batch in batches:
         if batch.num_rows == 0:
             continue
@@ -66,20 +70,33 @@ def _decode_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tokens = pa.ListArray.from_arrays(
             pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
         )
+        arrays = [
+            batch.column("doc_id"),
+            batch.column("chunk_idx").cast(pa.int32()),
+            tokens,
+        ]
+        if with_mask:
+            arrays.append(batch.column("mask"))
         yield pa.RecordBatch.from_arrays(
-            [
-                batch.column("doc_id"),
-                batch.column("chunk_idx").cast(pa.int32()),
-                tokens,
-            ],
-            schema=_DECODED_PA_SCHEMA,
+            arrays,
+            schema=_DECODED_MASK_PA_SCHEMA if with_mask else _DECODED_PA_SCHEMA,
         )
 
 
-def decode_chunks(encoded_df: DataFrame) -> DataFrame:
-    """Encoded DataFrame -> (doc_id, chunk_idx, chunk_tokens)."""
+def decode_chunks(encoded_df: DataFrame, with_mask: bool = False) -> DataFrame:
+    """Encoded DataFrame -> (doc_id, chunk_idx, chunk_tokens[, mask]).
+
+    ``with_mask=True`` carries the per-chunk validity bitmap (the
+    PackedNSeq pairing) through unchanged; decode it per chunk with
+    ``tokseq.validity.unpack_mask(mask, len(chunk_tokens))`` (null =
+    all positions valid)."""
     cols = ["doc_id", "chunk_idx", "codec", "bit_width", "n_values", "min_val", "payload"]
-    return encoded_df.select(*cols).mapInArrow(_decode_map, DECODED_SCHEMA)
+    if with_mask:
+        cols.append("mask")
+    return encoded_df.select(*cols).mapInArrow(
+        lambda it: _decode_map(it, with_mask),
+        DECODED_MASK_SCHEMA if with_mask else DECODED_SCHEMA,
+    )
 
 
 def reassemble_docs(decoded_df: DataFrame) -> DataFrame:

@@ -29,7 +29,8 @@ from ..stats import compute_chunk_stats
 ENCODED_SCHEMA = (
     "doc_id string, chunk_idx int, source string, codec string, "
     "bit_width int, n_values long, min_val long, payload binary, "
-    "in_bytes long, out_bytes long, floor_bytes long, part_id int"
+    "in_bytes long, out_bytes long, floor_bytes long, part_id int, "
+    "mask binary"
 )
 
 _ENCODED_PA_SCHEMA = pa.schema(
@@ -46,6 +47,11 @@ _ENCODED_PA_SCHEMA = pa.schema(
         ("out_bytes", pa.int64()),
         ("floor_bytes", pa.int64()),
         ("part_id", pa.int32()),
+        # optional per-chunk validity bitmap (1-bit packed; null = all
+        # valid) — the PackedNSeq pairing of packed payload + ambiguity
+        # bitmap (/root/reference/src/packed_n_seq.rs:9-20) carried as
+        # a nullable exception stream next to the token payload
+        ("mask", pa.binary()),
     ]
 )
 
@@ -212,8 +218,31 @@ def _encode_subbatch(
     }
 
 
+def mask_batch_kernel(
+    values: np.ndarray,
+    quality: np.ndarray | None,
+    offsets: np.ndarray,
+    quality_threshold: int,
+    vocab: int | None,
+) -> list[bytes | None]:
+    """Per-chunk 1-bit validity bitmaps (None when the chunk has no
+    masked position — the sparse fast path)."""
+    from ..validity import build_mask, pack_mask
+
+    flat = build_mask(values, quality, quality_threshold, vocab)
+    out: list[bytes | None] = []
+    for i in range(len(offsets) - 1):
+        m = flat[offsets[i] : offsets[i + 1]]
+        out.append(pack_mask(m) if m.any() else None)
+    return out
+
+
 def _encode_map(
-    batches: Iterator[pa.RecordBatch], enable_fsst: bool, chunk_width: int
+    batches: Iterator[pa.RecordBatch],
+    enable_fsst: bool,
+    chunk_width: int,
+    quality_threshold: int = 10,
+    mask_vocab: int | None = None,
 ) -> Iterator[pa.RecordBatch]:
     from pyspark import TaskContext
 
@@ -227,6 +256,22 @@ def _encode_map(
         offsets, row_of, chunk_idx = rechunk_offsets(row_offsets, base_idx, chunk_width)
         out = encode_batch_kernel(values, offsets, enable_fsst)
         n = len(chunk_idx)
+        has_quality = batch.schema.get_field_index("chunk_quality") != -1
+        if has_quality or mask_vocab is not None:
+            quality = None
+            if has_quality:
+                quality, q_off = list_column_to_numpy(batch.column("chunk_quality"))
+                if len(quality) != len(values):
+                    raise ValueError(
+                        "chunk_quality arrays must align with chunk_tokens "
+                        f"({len(quality)} quality vs {len(values)} tokens)"
+                    )
+            masks = mask_batch_kernel(
+                values, quality, offsets, quality_threshold, mask_vocab
+            )
+            mask_arr = pa.array(masks, pa.binary())
+        else:
+            mask_arr = pa.nulls(n, pa.binary())
         take = pa.array(row_of, pa.int64())
         yield pa.RecordBatch.from_arrays(
             [
@@ -242,17 +287,31 @@ def _encode_map(
                 pa.array(out["out_bytes"], pa.int64()),
                 pa.array(out["floor_bytes"], pa.int64()),
                 pa.array(np.full(n, part_id, dtype=np.int32), pa.int32()),
+                mask_arr,
             ],
             schema=_ENCODED_PA_SCHEMA,
         )
 
 
-def encode_chunks(chunks_df, enable_fsst: bool = True, chunk_width: int = 4096):
-    """(doc_id, source, chunk_idx, chunk_tokens) -> encoded DataFrame.
+def encode_chunks(
+    chunks_df,
+    enable_fsst: bool = True,
+    chunk_width: int = 4096,
+    quality_threshold: int = 10,
+    mask_vocab: int | None = None,
+):
+    """(doc_id, source, chunk_idx, chunk_tokens[, chunk_quality]) ->
+    encoded DataFrame.
 
     Rows whose token array exceeds ``chunk_width`` are re-chunked
     inside the kernel (see rechunk_offsets); pre-exploded W-sized rows
-    pass through with their chunk_idx."""
+    pass through with their chunk_idx. When the plan carries a
+    ``chunk_quality`` column (or ``mask_vocab`` is set), each encoded
+    chunk also gets a 1-bit validity bitmap in the nullable ``mask``
+    column — the PackedNSeq pairing (null = all positions valid)."""
     return chunks_df.mapInArrow(
-        lambda it: _encode_map(it, enable_fsst, chunk_width), ENCODED_SCHEMA
+        lambda it: _encode_map(
+            it, enable_fsst, chunk_width, quality_threshold, mask_vocab
+        ),
+        ENCODED_SCHEMA,
     )

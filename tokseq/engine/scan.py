@@ -128,6 +128,7 @@ def _scan_encode_map(
                     pa.array(out["out_bytes"], pa.int64()),
                     pa.array(out["floor_bytes"], pa.int64()),
                     pa.array(np.full(n, part_id, dtype=np.int32), pa.int32()),
+                    pa.nulls(n, pa.binary()),  # mask: direct scan reads tokens only
                 ],
                 schema=_ENCODED_PA_SCHEMA,
             )

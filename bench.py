@@ -103,14 +103,14 @@ def run_child(cores: int, corpus: str, do_write: bool, out_json: str) -> None:
         ).collect()[0]
         return time.time() - t0, row
 
-    # best-of-2 at high core counts: the sandbox host has noisy
+    # best-of-N at high core counts: the sandbox host has noisy
     # neighbors; min wall is the least-interference estimate. Low-core
     # runs are long and stable — one pass.
-    t1, row = timed_direct()
-    t_encode = t1
-    if cores >= 8:
+    t_encode, row = timed_direct()
+    reps = 3 if cores >= 8 else 1
+    for _ in range(reps - 1):
         t2, _ = timed_direct()
-        t_encode = min(t1, t2)
+        t_encode = min(t_encode, t2)
 
     # --- DataFrame-route encode (generic path: shuffle + JVM->Arrow),
     # reported alongside for honesty about both strategies
@@ -157,6 +157,44 @@ def run_child(cores: int, corpus: str, do_write: bool, out_json: str) -> None:
     spark.stop()
     with open(out_json, "w") as f:
         json.dump(metrics, f)
+
+
+# ------------------------------------------------------- pure-CPU control --
+
+def _control_worker(seconds: float, q) -> None:
+    """Cache-resident numpy xorshift loop — no engine code, no Spark.
+    Measures what this shared host's memory/turbo budget allows a
+    process to do, so engine scaling can be read against the box's own
+    ceiling."""
+    import numpy as np
+
+    a = np.arange(32768, dtype=np.uint64)  # 256 KB: L2-resident
+    k = np.uint64(0x9E3779B97F4A7C15)
+    end = time.time() + 0.2  # warmup
+    while time.time() < end:
+        a ^= k
+    it = 0
+    end = time.time() + seconds
+    while time.time() < end:
+        a ^= k
+        a += np.uint64(1)
+        it += 1
+    q.put(it)
+
+
+def cpu_control(procs: int, seconds: float = 3.0) -> float:
+    """Aggregate iterations/sec of `procs` concurrent control loops."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    ps = [ctx.Process(target=_control_worker, args=(seconds, q)) for _ in range(procs)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total / seconds
 
 
 # ---------------------------------------------------------------- parent ---
@@ -225,13 +263,19 @@ runs in its own subprocess/JVM, workers pre-warmed, best-of-2 walls.
 The N={lo['cores']} -> 4N={mid['cores']} pair is the faithful sandbox
 proxy for an N- vs 4N-EXECUTOR cluster: both levels leave this shared
 single box unsaturated, as separate executors would be. At the
-saturated pair ({mid['cores']} -> {hi['cores']} cores,
-efficiency {payload['scaling_efficiency_saturated']:.3f}) the box
-itself stops scaling: a pure-CPU cache-resident control (no engine
-code) measures only ~0.76 efficiency at 8->32 procs on this host
-(shared memory bus + turbo budget + neighbor steal), which no
-distributed-engine change can recover — on a real cluster each added
-executor brings its own bus.
+saturated pair ({mid['cores']} -> {hi['cores']} cores) the box itself
+stops scaling — measured in the SAME bench run by an engine-free
+pure-CPU cache-resident control:
+
+| saturated pair {mid['cores']}->{hi['cores']} | efficiency |
+|---|---|
+| encode job | {payload['scaling_efficiency_saturated']:.3f} |
+| pure-CPU control (no engine, no Spark) | {payload['control_efficiency_saturated']:.3f} |
+| engine / control ratio | {payload['scaling_vs_control_saturated']:.3f} |
+
+The control ceiling (shared memory bus + turbo budget + neighbor
+steal) is host physics no distributed-engine change can recover — on
+a real cluster each added executor brings its own bus.
 
 ## Compression
 
@@ -295,6 +339,12 @@ def main() -> None:
     eff = (mid["tokens_per_sec"] / lo["tokens_per_sec"]) / (n2 / n1)
     eff_sat = (hi["tokens_per_sec"] / mid["tokens_per_sec"]) / (cpus / n2)
 
+    # pure-CPU control at the same parallelism levels, measured NOW on
+    # this host (engine-free ceiling for the saturated pair)
+    ctl_mid = cpu_control(n2)
+    ctl_hi = cpu_control(cpus)
+    ctl_eff_sat = (ctl_hi / ctl_mid) / (cpus / n2)
+
     queries = time_queries(sf_dir, cpus)
     queries["encode_local%d" % n1] = round(lo["encode_sec"], 3)
     queries["encode_local%d" % n2] = round(mid["encode_sec"], 3)
@@ -320,6 +370,10 @@ def main() -> None:
         "cores_full": cpus,
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_saturated": round(eff_sat, 3),
+        "control_efficiency_saturated": round(ctl_eff_sat, 3),
+        "scaling_vs_control_saturated": round(min(eff_sat / ctl_eff_sat, 1.5), 3)
+        if ctl_eff_sat
+        else None,
         "bytes_per_token": round(hi["out_bytes"] / hi["tokens"], 4),
         "vs_floor": round(hi["out_bytes"] / hi["floor_bytes"], 4),
         "decode_tokens_per_sec": round(hi["decode_tokens_per_sec"]),

@@ -47,3 +47,33 @@ def test_revcomp_wider_alphabet_mask(spark):
     df = spark.createDataFrame([([0, 3, 9, 15, 7],)], "tokens array<int>")
     r = df.select(revcomp(revcomp("tokens", 15), 15).alias("x")).collect()[0]
     assert r["x"] == [0, 3, 9, 15, 7]
+
+
+def test_cmp_lcp_matches_numpy(spark):
+    """P6 cmp_lcp (reference packed_seq.rs:1054-1109): equal arrays,
+    proper prefixes (prefix sorts first), shared prefixes, empties."""
+    import pyspark.sql.functions as F
+
+    from tokseq.seqops import cmp_lcp, cmp_lcp_np, lcp, lcp_np
+
+    rng = np.random.default_rng(9)
+    cases = [
+        ([], []), ([], [1]), ([1, 2, 3], [1, 2, 3]),
+        ([1, 2], [1, 2, 3]), ([1, 2, 9], [1, 2, 3]), ([5], [4, 9]),
+    ]
+    for _ in range(30):
+        base = rng.integers(0, 4, int(rng.integers(0, 20))).tolist()
+        a = base + rng.integers(0, 4, int(rng.integers(0, 10))).tolist()
+        b = base + rng.integers(0, 4, int(rng.integers(0, 10))).tolist()
+        cases.append(([int(x) for x in a], [int(x) for x in b]))
+    df = spark.createDataFrame(cases, "a array<int>, b array<int>")
+    got = df.select(
+        "a", "b", lcp("a", "b").alias("l"), cmp_lcp("a", "b").alias("cl")
+    ).collect()
+    for r in got:
+        a, b = np.array(r["a"], np.int64), np.array(r["b"], np.int64)
+        want_cmp, want_lcp = cmp_lcp_np(a, b)
+        assert r["l"] == lcp_np(a, b), (r["a"], r["b"])
+        assert (r["cl"]["cmp"], r["cl"]["lcp"]) == (want_cmp, want_lcp), (r["a"], r["b"])
+        # antisymmetry against python's list ordering
+        assert want_cmp == (0 if list(a) == list(b) else (-1 if list(a) < list(b) else 1))

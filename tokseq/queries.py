@@ -124,6 +124,63 @@ FROM rc
 """
 
 
+def q_p6_cmp_lcp(spark, sf_dir):
+    """P6 ``cmp_lcp`` (/root/reference/src/packed_seq.rs:1054-1109) as
+    a first-class op (tokseq.seqops.cmp_lcp): three-way logical
+    token-order comparison + longest-common-prefix length between each
+    user's event-code sequence and the next user's. The pairing join is
+    on user_id+1 (co-partitioned equi-join — scales; no global
+    window)."""
+    from .seqops import cmp_lcp
+
+    ev = _t(spark, sf_dir, "events")
+    code = (F.length("event_type") % 4).cast("int")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), code.alias("code")).alias("st"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("st")), lambda s: s.getField("code")
+            ).alias("s")
+        )
+    )
+    nxt = seqs.select((F.col("user_id") - 1).alias("user_id"), F.col("s").alias("s2"))
+    pairs = seqs.join(nxt, "user_id")
+    res = cmp_lcp(F.col("s"), F.col("s2"))
+    return pairs.select(
+        "user_id",
+        res.getField("lcp").alias("lcp"),
+        res.getField("cmp").alias("cmp"),
+    )
+
+
+ORACLE_P6_LCP = """
+WITH seqs AS (
+  SELECT user_id, list(code ORDER BY ts, event_id) AS s
+  FROM (SELECT user_id, ts, event_id, length(event_type) % 4 AS code FROM events) t
+  GROUP BY user_id
+), pairs AS (
+  SELECT a.user_id, a.s AS sa, b.s AS sb
+  FROM seqs a JOIN seqs b ON b.user_id = a.user_id + 1
+), m AS (
+  SELECT user_id, sa, sb,
+         list_position(list_transform(list_zip(sa, sb),
+                       p -> p[1] IS NOT DISTINCT FROM p[2]), false) AS pos
+  FROM pairs
+)
+SELECT user_id,
+       CAST(CASE WHEN pos = 0 THEN len(sa) ELSE pos - 1 END AS INT) AS lcp,
+       CAST(CASE WHEN pos = 0 THEN 0
+                 WHEN sa[pos] IS NULL THEN -1
+                 WHEN sb[pos] IS NULL THEN 1
+                 WHEN sa[pos] < sb[pos] THEN -1 ELSE 1 END AS INT) AS cmp
+FROM m
+"""
+
+
 def q_s7_windowed_any(spark, sf_dir):
     """S7 `iter_kmer_ambiguity` analog: for each position, does any of
     the next k=5 rows carry the flag?
@@ -552,6 +609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_kmer_pack": q_e3_kmer_pack,
     "s1_complement_xor": q_s1_complement_xor,
     "s3_revcomp": q_s3_revcomp,
+    "p6_cmp_lcp": q_p6_cmp_lcp,
     "s7_windowed_any": q_s7_windowed_any,
     "p2_lagged_delta": q_p2_lagged_delta,
     "rle_run_detect": q_rle_run_detect,
@@ -572,6 +630,7 @@ ORACLES: dict[str, str] = {
     "e3_kmer_pack": ORACLE_E3,
     "s1_complement_xor": ORACLE_S1,
     "s3_revcomp": ORACLE_S3,
+    "p6_cmp_lcp": ORACLE_P6_LCP,
     "s7_windowed_any": ORACLE_S7,
     "p2_lagged_delta": ORACLE_P2,
     "rle_run_detect": ORACLE_RLE,

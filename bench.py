@@ -275,7 +275,11 @@ pure-CPU cache-resident control:
 
 The control ceiling (shared memory bus + turbo budget + neighbor
 steal) is host physics no distributed-engine change can recover — on
-a real cluster each added executor brings its own bus.
+a real cluster each added executor brings its own bus. Cross-run
+variance on this shared box is large (2-3x on saturated walls across
+back-to-back quiet runs; the N->4N unsaturated pair stayed in
+0.85-1.11 across round-2 runs) — all rows above are best-of-N within
+one run.
 
 ## Compression
 
@@ -340,9 +344,11 @@ def main() -> None:
     eff_sat = (hi["tokens_per_sec"] / mid["tokens_per_sec"]) / (cpus / n2)
 
     # pure-CPU control at the same parallelism levels, measured NOW on
-    # this host (engine-free ceiling for the saturated pair)
-    ctl_mid = cpu_control(n2)
-    ctl_hi = cpu_control(cpus)
+    # this host (engine-free ceiling for the saturated pair); best-of-3
+    # per level — single control samples inherit the host's 2-3x
+    # neighbor noise just like the engine does
+    ctl_mid = max(cpu_control(n2) for _ in range(3))
+    ctl_hi = max(cpu_control(cpus) for _ in range(3))
     ctl_eff_sat = (ctl_hi / ctl_mid) / (cpus / n2)
 
     queries = time_queries(sf_dir, cpus)

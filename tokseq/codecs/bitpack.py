@@ -123,8 +123,21 @@ def _group_geometry(width: int) -> tuple[int, int]:
     return L // width, L // 64
 
 
+_LANE_GEO_CACHE: dict[int, tuple] = {}
+
+
 def _lane_geometry(width: int):
-    """Per-lane shift/word-index tables for one lcm(w,64) group."""
+    """Per-lane shift/word-index tables for one lcm(w,64) group
+    (cached: recomputing the aranges per pack call costs more than the
+    pack of a small chunk itself)."""
+    geo = _LANE_GEO_CACHE.get(width)
+    if geo is None:
+        geo = _lane_geometry_build(width)
+        _LANE_GEO_CACHE[width] = geo
+    return geo
+
+
+def _lane_geometry_build(width: int):
     g, W = _group_geometry(width)
     lanes = np.arange(g, dtype=np.int64)
     bit = lanes * width

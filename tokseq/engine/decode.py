@@ -18,7 +18,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..codecs import get_codec
+from ..codecs import get_codec, unpack_bits_le
 
 DECODED_SCHEMA = "doc_id string, chunk_idx int, chunk_tokens array<int>"
 DECODED_MASK_SCHEMA = DECODED_SCHEMA + ", mask binary"
@@ -40,18 +40,45 @@ def decode_batch_kernel(
     mins: np.ndarray,
     ns: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a batch of chunks -> (flat int32 values, int64 offsets)."""
-    outs = []
-    for i in range(len(payloads)):
-        codec = get_codec(codecs[i])
-        outs.append(
-            codec.decode(payloads[i], int(ns[i]), int(widths[i]), int(mins[i]))
-        )
-    if outs:
-        flat = np.concatenate(outs).astype(np.int32, copy=False)
-    else:
-        flat = np.zeros(0, np.int32)
+    """Decode a batch of chunks -> (flat int32 values, int64 offsets).
+
+    bitpack/for chunks whose length is a multiple of 8 are BYTE-ALIGNED
+    (n*w ≡ 0 mod 8), so all same-width chunks concatenate into one
+    continuous bit stream and decode in a single unpack call — the
+    per-chunk Python/numpy call overhead (which dominates on
+    4096-token chunks) is paid once per (codec, width) group instead
+    of once per chunk. Header-carrying codecs decode per chunk."""
+    n_chunks = len(payloads)
+    ns = np.asarray(ns, dtype=np.int64)
     offsets = np.concatenate(([0], np.cumsum(ns))).astype(np.int64)
+    flat = np.empty(int(offsets[-1]), np.int32)
+    codec_arr = np.asarray(codecs)
+    done = np.zeros(n_chunks, dtype=bool)
+    groupable = (ns % 8 == 0) & (ns > 0)
+    for name in ("bitpack", "for"):
+        cand = np.flatnonzero((codec_arr == name) & groupable)
+        if len(cand) == 0:
+            continue
+        wsel = np.asarray(widths)[cand]
+        for w in np.unique(wsel):
+            idx = cand[wsel == w]
+            buf = b"".join(payloads[i] for i in idx)
+            vals = unpack_bits_le(buf, int(w), int(ns[idx].sum())).astype(np.int64)
+            if name == "for":
+                vals += np.repeat(np.asarray(mins)[idx], ns[idx])
+            pos = 0
+            for i in idx:
+                k = int(ns[i])
+                flat[offsets[i] : offsets[i] + k] = vals[pos : pos + k]
+                pos += k
+            done[idx] = True
+    for i in range(n_chunks):
+        if done[i]:
+            continue
+        codec = get_codec(codecs[i])
+        flat[offsets[i] : offsets[i + 1]] = codec.decode(
+            payloads[i], int(ns[i]), int(widths[i]), int(mins[i])
+        )
     return flat, offsets
 
 

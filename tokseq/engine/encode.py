@@ -129,7 +129,7 @@ def encode_batch_kernel(values: np.ndarray, offsets: np.ndarray, enable_fsst: bo
 def _encode_subbatch(
     values: np.ndarray, offsets: np.ndarray, enable_fsst: bool = True
 ):
-    st = compute_chunk_stats(values, offsets)
+    st = compute_chunk_stats(values, offsets, approx=True)
     if len(st.vmin) and st.vmin.min() < 0:
         bad = int(np.argmin(st.vmin))
         raise ValueError(
@@ -170,13 +170,61 @@ def _encode_subbatch(
                     np.concatenate(parts), bw
                 )
 
-    payloads: list[bytes] = []
-    out_codec: list[str] = []
+    payloads: list[bytes] = [b""] * nseg
+    out_codec: list[str] = list(names)
     out_width = np.zeros(nseg, dtype=np.int32)
     out_min = np.zeros(nseg, dtype=np.int64)
     fsst = get_codec("fsst")
     bitpack = get_codec("bitpack")
+
+    # --- grouped fast path: bitpack/for chunks with n % 8 == 0 are
+    # byte-aligned (n*w ≡ 0 mod 8), so all same-width chunks pack as
+    # ONE continuous bit stream and split on byte boundaries — the
+    # per-chunk pack-call overhead is paid once per (codec, width)
+    # group. Estimates for these two codecs are exact (== the payload
+    # size), so the floor fallback check is not needed; fsst
+    # candidates keep the per-chunk path (they need a budget baseline
+    # then a try-encode anyway).
+    from ..codecs.bitpack import bit_length as _bl
+    from ..codecs.bitpack import pack_bits_le, packed_size
+
+    name_arr = np.asarray(names)
+    done = np.zeros(nseg, dtype=bool)
+    groupable = (st.n % 8 == 0) & (st.n > 0) & ~sel.fsst_candidate
+    w_full = np.maximum(_bl(st.vmax), 1).astype(np.int32)
+    w_for = np.maximum(_bl(st.vmax - st.vmin), 1).astype(np.int32)
+    for cname, wvec, use_min in (("bitpack", w_full, False), ("for", w_for, True)):
+        cand = np.flatnonzero((name_arr == cname) & groupable)
+        if len(cand) == 0:
+            continue
+        wsel = wvec[cand]
+        for w in np.unique(wsel):
+            idx = cand[wsel == w]
+            if use_min:
+                big = np.concatenate(
+                    [
+                        values[offsets[i] : offsets[i + 1]] - st.vmin[i]
+                        for i in idx
+                    ]
+                )
+            else:
+                big = np.concatenate(
+                    [values[offsets[i] : offsets[i + 1]] for i in idx]
+                )
+            buf = pack_bits_le(big, int(w))
+            pos = 0
+            for i in idx:
+                nb = packed_size(int(st.n[i]), int(w))
+                payloads[i] = buf[pos : pos + nb]
+                pos += nb
+            out_width[idx] = w
+            if use_min:
+                out_min[idx] = st.vmin[idx]
+            done[idx] = True
+
     for i in range(nseg):
+        if done[i]:
+            continue
         v = values[offsets[i] : offsets[i + 1]]
         name = names[i]
         codec = get_codec(name)
@@ -201,8 +249,8 @@ def _encode_subbatch(
                 fenc = fsst.encode(v, budget_bytes=len(enc.payload))
             if fenc is not None and len(fenc.payload) < len(enc.payload):
                 name, enc = "fsst", fenc
-        payloads.append(enc.payload)
-        out_codec.append(name)
+        payloads[i] = enc.payload
+        out_codec[i] = name
         out_width[i] = enc.bit_width
         out_min[i] = enc.min_val
 

@@ -57,7 +57,23 @@ def _segmented_reduce(op, values, starts, empty, fill):
     return out
 
 
-def compute_chunk_stats(values: np.ndarray, offsets: np.ndarray) -> ChunkStats:
+_CARD_SAMPLE = 128
+
+
+def compute_chunk_stats(
+    values: np.ndarray, offsets: np.ndarray, approx: bool = False
+) -> ChunkStats:
+    """approx=False: every stat exact. approx=True (the engine's hot
+    path): high-entropy chunks skip the two O(n log n)-ish stats that
+    only matter to codecs such chunks can never select —
+      * max_run is replaced by its exact upper bound n - n_runs + 1
+        when n_runs > (7/8)n (avg run < 8/7: RLE needs field width
+        > 56 bits to win there, impossible in the int32 token domain);
+      * exact cardinality is computed only when a strided
+        _CARD_SAMPLE-point screen shows real duplication (otherwise
+        card := n, pessimal for dict — which cannot win against
+        for/split at >=~600 distinct deltas anyway).
+    n/vmin/vmax/n_runs/bl_hist stay exact in both modes."""
     # keep int32 input as int32: the kernel is memory-bandwidth-bound
     # at high core counts and these are whole-batch passes
     values = np.ascontiguousarray(values)
@@ -68,56 +84,110 @@ def compute_chunk_stats(values: np.ndarray, offsets: np.ndarray) -> ChunkStats:
     n = np.diff(offsets)
     empty = n == 0
     nseg = len(n)
+    m = len(values)
 
     vmin = _segmented_reduce(np.minimum, values, starts, empty, 0)
     vmax = _segmented_reduce(np.maximum, values, starts, empty, 0)
 
     # --- runs: force a change at every chunk start so runs never span chunks
-    m = len(values)
     change = np.empty(m, dtype=bool)
     if m:
         change[0] = True
         np.not_equal(values[1:], values[:-1], out=change[1:])
         change[starts[~empty]] = True
-    run_starts = np.flatnonzero(change)
-    if len(run_starts):
-        run_lens = np.empty(len(run_starts), dtype=np.int64)
-        run_lens[:-1] = run_starts[1:] - run_starts[:-1]
-        run_lens[-1] = m - run_starts[-1]
-    else:
-        run_lens = run_starts
-    # which chunk each run belongs to
-    run_seg = np.searchsorted(starts, run_starts, side="right") - 1 if m else run_starts
-    n_runs = np.bincount(run_seg, minlength=nseg).astype(np.int64) if m else np.zeros(nseg, np.int64)
-    run_starts_per_seg = np.concatenate(([0], np.cumsum(n_runs)))[:-1]
-    max_run = _segmented_reduce(np.maximum, run_lens, run_starts_per_seg, n_runs == 0, 0)
+    cs = np.concatenate(([0], np.cumsum(change, dtype=np.int64)))
+    n_runs = cs[offsets[1:]] - cs[starts]
 
-    # --- exact cardinality: one composite-key sort then count changes.
-    # composite (seg << 32 | delta) is safe because delta < 2^32 implies
-    # no cross-seg collision; fall back to lexsort for wider deltas.
+    run_detail = ~empty
+    if approx:
+        run_detail &= n_runs * 8 <= n * 7
+    max_run = np.maximum(n - n_runs + 1, 0)
+    max_run[empty] = 0
+    if m and run_detail.any():
+        det_starts, det_n = starts[run_detail], n[run_detail]
+        sub_change = _gather_segments(change, det_starts, det_n)
+        run_starts = np.flatnonzero(sub_change)
+        sm = len(sub_change)
+        if len(run_starts):
+            run_lens = np.empty(len(run_starts), dtype=np.int64)
+            run_lens[:-1] = run_starts[1:] - run_starts[:-1]
+            run_lens[-1] = sm - run_starts[-1]
+            det_runs = n_runs[run_detail]
+            rs_per_seg = np.concatenate(([0], np.cumsum(det_runs)))[:-1]
+            # last run of each detailed segment may be measured against
+            # the NEXT segment's start in the concatenated view — fix
+            # by clamping with the segment end
+            seg_end = np.concatenate(([0], np.cumsum(det_n)))
+            last_idx = np.cumsum(det_runs) - 1
+            run_lens[last_idx] = seg_end[1:] - run_starts[last_idx]
+            max_run[run_detail] = _segmented_reduce(
+                np.maximum, run_lens, rs_per_seg, det_runs == 0, 0
+            )
+
+    # --- cardinality: composite-key sort then count changes, over the
+    # segments that need it. composite (seg << 32 | delta) is safe
+    # because delta < 2^32 implies no cross-seg collision.
+    card = np.minimum(n, np.iinfo(np.int64).max)  # pessimistic default
+    card[empty] = 0
     if m:
         seg_of = np.repeat(np.arange(nseg, dtype=np.int32), n)
         deltas = values - vmin.astype(values.dtype)[seg_of]
-        if int(deltas.max()) < (1 << 32) and nseg < (1 << 31):
-            key = np.sort(
-                (seg_of.astype(np.int64) << 32) | deltas.astype(np.int64)
-            )
-            uniq_flag = np.empty(m, dtype=bool)
-            uniq_flag[0] = True
-            np.not_equal(key[1:], key[:-1], out=uniq_flag[1:])
-            card = np.bincount(
-                (key[uniq_flag] >> 32), minlength=nseg
-            ).astype(np.int64)
-        else:
-            order = np.lexsort((values, seg_of))
-            sv = values[order]
-            ss = seg_of[order]
-            uniq_flag = np.empty(m, dtype=bool)
-            uniq_flag[0] = True
-            uniq_flag[1:] = (sv[1:] != sv[:-1]) | (ss[1:] != ss[:-1])
-            card = np.bincount(ss[uniq_flag], minlength=nseg).astype(np.int64)
-    else:
-        card = np.zeros(nseg, np.int64)
+        card_detail = ~empty
+        if approx:
+            big = np.flatnonzero(n >= _CARD_SAMPLE)
+            if len(big):
+                S = _CARD_SAMPLE
+                pick = starts[big, None] + (np.arange(S)[None, :] * n[big, None]) // S
+                samp = np.sort(values[pick], axis=1)
+                k = 1 + (samp[:, 1:] != samp[:, :-1]).sum(axis=1)
+                hi_card = np.zeros(nseg, dtype=bool)
+                hi_card[big[k * 10 > S * 9]] = True
+                card_detail &= ~hi_card
+        if card_detail.any():
+            if card_detail.all():
+                sub_deltas, sub_seg = deltas, seg_of.astype(np.int64)
+                det_map = None
+                nsub = nseg
+            else:
+                det_starts, det_n = starts[card_detail], n[card_detail]
+                sub_deltas = _gather_segments(deltas, det_starts, det_n)
+                sub_seg = np.repeat(
+                    np.arange(int(card_detail.sum()), dtype=np.int64), det_n
+                )
+                det_map = np.flatnonzero(card_detail)
+                nsub = int(card_detail.sum())
+            if len(sub_deltas) and int(sub_deltas.max()) < (1 << 16) and nsub < (1 << 15):
+                # narrow composite: int32 sorts at ~2x the int64 rate
+                key32 = np.sort(
+                    (sub_seg.astype(np.int32) << 16) | sub_deltas.astype(np.int32)
+                )
+                uniq_flag = np.empty(len(key32), dtype=bool)
+                uniq_flag[0] = True
+                np.not_equal(key32[1:], key32[:-1], out=uniq_flag[1:])
+                sub_card = np.bincount(
+                    (key32[uniq_flag] >> 16), minlength=nsub
+                ).astype(np.int64)
+            elif len(sub_deltas) and int(sub_deltas.max()) < (1 << 32) and nsub < (1 << 31):
+                key = np.sort((sub_seg << 32) | sub_deltas.astype(np.int64))
+                uniq_flag = np.empty(len(key), dtype=bool)
+                uniq_flag[0] = True
+                np.not_equal(key[1:], key[:-1], out=uniq_flag[1:])
+                sub_card = np.bincount(
+                    (key[uniq_flag] >> 32), minlength=nsub
+                ).astype(np.int64)
+            else:
+                order = np.lexsort((sub_deltas, sub_seg))
+                sv, ss = sub_deltas[order], sub_seg[order]
+                uniq_flag = np.empty(len(sv), dtype=bool)
+                if len(sv):
+                    uniq_flag[0] = True
+                    uniq_flag[1:] = (sv[1:] != sv[:-1]) | (ss[1:] != ss[:-1])
+                sub_card = np.bincount(ss[uniq_flag], minlength=nsub).astype(np.int64)
+            if det_map is None:
+                card = sub_card
+                card[empty] = 0
+            else:
+                card[det_map] = sub_card
 
     # --- bit-length histogram of (value - chunk_min), via flat bincount
     bl_hist = np.zeros((nseg, 65), dtype=np.int64)
@@ -129,3 +199,14 @@ def compute_chunk_stats(values: np.ndarray, offsets: np.ndarray) -> ChunkStats:
 
     return ChunkStats(n=n, vmin=vmin, vmax=vmax, n_runs=n_runs,
                       max_run=max_run, card=card, bl_hist=bl_hist)
+
+
+def _gather_segments(arr: np.ndarray, seg_starts: np.ndarray, seg_n: np.ndarray):
+    """Concatenate arr[s:s+k] for each (s, k) — one fancy gather."""
+    total = int(seg_n.sum())
+    if total == 0:
+        return arr[:0]
+    seg_off = np.concatenate(([0], np.cumsum(seg_n)))[:-1]
+    pos = np.arange(total, dtype=np.int64) - np.repeat(seg_off, seg_n)
+    idx = np.repeat(seg_starts, seg_n) + pos
+    return arr[idx]

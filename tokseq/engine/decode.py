@@ -61,6 +61,8 @@ def decode_batch_kernel(
             continue
         wsel = np.asarray(widths)[cand]
         for w in np.unique(wsel):
+            if w in (8, 16, 32, 64):
+                continue  # memcpy-class per-chunk paths beat the join+scatter
             idx = cand[wsel == w]
             buf = b"".join(payloads[i] for i in idx)
             vals = unpack_bits_le(buf, int(w), int(ns[idx].sum())).astype(np.int64)

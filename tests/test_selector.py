@@ -152,3 +152,30 @@ def test_stats_interior_and_multi_empty_chunks():
     assert st.n_runs.tolist() == [0, 1, 0, 0, 2, 0]
     assert st.max_run.tolist() == [0, 1, 0, 0, 2, 0]
     assert st.card.tolist() == [0, 1, 0, 0, 2, 0]
+
+
+def test_approx_stats_selection_parity():
+    """The engine's approx stats mode (sampled cardinality screen +
+    run-detail skipping) must not change what gets selected or the
+    encoded size on any corpus regime: the pessimistic fallbacks only
+    touch codecs that lose regardless."""
+    import zlib
+
+    from tokseq.datagen import _SOURCES, _zipf_tokens, VOCAB_TEXT
+
+    rng = np.random.default_rng(13)
+    streams = [_zipf_tokens(rng, 4096 * 8, VOCAB_TEXT)]
+    for name, fn in _SOURCES.items():
+        r = np.random.default_rng((13, zlib.crc32(name.encode())))
+        lens, vals = fn(r, 40)
+        streams.append(np.asarray(vals, np.int64))
+    for vals in streams:
+        vals = np.asarray(vals, np.int64)
+        offsets = np.arange(0, len(vals) + 1, 4096, dtype=np.int64)
+        if offsets[-1] != len(vals):
+            offsets = np.append(offsets, len(vals))
+        ex = select(compute_chunk_stats(vals, offsets, approx=False))
+        ap = select(compute_chunk_stats(vals, offsets, approx=True))
+        assert (ex.names() == ap.names()).all()
+        assert (ex.est_bytes == ap.est_bytes).all()
+        assert (ex.floor_bytes == ap.floor_bytes).all()

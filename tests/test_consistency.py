@@ -57,6 +57,7 @@ GOLDEN_PAYLOADS = {
     "pfor_ef": ("01000000030314ff110d3f010740420f", 3, 0),
     "rle": ("0700000014020700000000010020000003000024f40700000210", 20, 0),
     "split": ("0314010000008000ff11ed0740420f", 20, 0),
+    "split3": ("0304140000000001000000800001ff11ed0740420f", 20, 0),
 }
 
 

@@ -84,15 +84,21 @@ def test_estimates_exact_for_exact_codecs():
     from tokseq.selector import estimate_sizes
 
     st = compute_chunk_stats(*make_batch(chunks))
-    sizes, _, split_w1, _ = estimate_sizes(st)
+    sizes, _, split_w1, _, s3w1, s3wm = estimate_sizes(st)
+    big = np.iinfo(np.int64).max // 4
     for i, c in enumerate(chunks):
         c = np.asarray(c, np.int64)
         for j, name in enumerate(CODEC_NAMES):
             if name == "pfor":
                 continue  # estimate is an upper bound, checked below
-            if name == "split":
-                enc = get_codec(name).encode(c, low_width=int(split_w1[i])) \
-                    if len(c) else get_codec(name).encode(c)
+            if name == "split" and len(c):
+                enc = get_codec(name).encode(c, low_width=int(split_w1[i]))
+            elif name == "split3" and len(c):
+                if sizes[j, i] >= big:
+                    continue  # no valid 3-bucket geometry: never selected
+                enc = get_codec(name).encode(
+                    c, low_width=int(s3w1[i]), mid_width=int(s3wm[i])
+                )
             else:
                 enc = get_codec(name).encode(c)
             assert sizes[j, i] == len(enc.payload), (name, i)
@@ -105,7 +111,7 @@ def test_pfor_estimate_is_upper_bound():
     st = compute_chunk_stats(*make_batch([v]))
     from tokseq.selector import estimate_sizes
 
-    sizes, pfor_wb, _, _ = estimate_sizes(st)
+    sizes, pfor_wb, _, _, _, _ = estimate_sizes(st)
     enc = get_codec("pfor").encode(v, base_width=int(pfor_wb[0]))
     assert len(enc.payload) <= sizes[CODEC_NAMES.index("pfor"), 0]
 

@@ -157,15 +157,14 @@ def _finalize(stream: np.ndarray, id_exp: dict, bw: int, w: int, lo: int) -> Enc
     used = np.unique(stream[stream >= 256]) if len(stream) else np.zeros(0, np.int64)
     if len(used):
         lut = np.arange(256 + n_learned, dtype=np.int32)
-        for i, s in enumerate(used):
-            lut[int(s)] = 256 + i
+        lut[used] = 256 + np.arange(len(used), dtype=np.int32)
         stream = lut[stream]
     expansions = [id_exp[int(s)] for s in used]
     L = len(expansions)
 
     lit_freq = np.bincount(stream[stream < 256], minlength=256).astype(np.int64)
     order = np.argsort(lit_freq, kind="stable")
-    code_values = [int(b) for b in order if b != _ESC][:L]
+    code_values = order[order != _ESC][:L].tolist()
     needs_escape = np.zeros(256, dtype=bool)
     needs_escape[_ESC] = True
     needs_escape[code_values] = True
@@ -193,6 +192,27 @@ def _finalize(stream: np.ndarray, id_exp: dict, bw: int, w: int, lo: int) -> Enc
     for e in expansions:
         header += e
     return Encoded(bytes(header) + out.tobytes(), w, lo)
+
+
+_SCREEN_SAMPLE = 2048
+
+
+def _screen_reject(stream: np.ndarray, budget_bytes: int | None) -> bool:
+    """Cheap upper-bound screen: if even the top-k pair mass of a
+    stream PREFIX can't bring the chunk under ``budget_bytes``, skip
+    the full learn. Sampling the prefix keeps the screen itself from
+    dominating (a full-stream pair-unique costs a sort of the whole
+    chunk — a large share of what it tries to avoid)."""
+    if budget_bytes is None or len(stream) < 512:
+        return False
+    s = stream[: _SCREEN_SAMPLE]
+    pair_ids = s[:-1] * np.int32(256) + s[1:]
+    counts = np.unique(pair_ids, return_counts=True)[1]
+    k = min(_MAX_SYMBOLS, len(counts))
+    top_sum = int(np.partition(counts, len(counts) - k)[-k:].sum())
+    frac = min(top_sum / max(len(s) - 1, 1), 0.5)
+    est_out = len(stream) * (1.0 - 0.75 * frac) + 3 * k // 4 + 4
+    return est_out >= budget_bytes
 
 
 def _prepare(values: np.ndarray):
@@ -258,15 +278,8 @@ class FsstCodec(Codec):
             return Encoded(b"", 0, 0)
         lo, w, bw, stream = _prepare(values)
 
-        if budget_bytes is not None and len(stream) >= 512:
-            pair_ids = stream[:-1] * np.int32(256) + stream[1:]
-            counts = np.unique(pair_ids, return_counts=True)[1]
-            k = min(_MAX_SYMBOLS, len(counts))
-            top_sum = int(np.partition(counts, len(counts) - k)[-k:].sum())
-            saved_ub = min(top_sum, len(stream) // 2)
-            est_out = len(stream) - int(0.75 * saved_ub) + 3 * k // 4 + 4
-            if est_out >= budget_bytes:
-                return None
+        if _screen_reject(stream, budget_bytes):
+            return None
 
         rounds, id_exp, stream = _learn(stream)
         return _finalize(stream, id_exp, bw, w, lo)
@@ -287,15 +300,8 @@ class FsstCodec(Codec):
         lo, w, bw, stream = _prepare(values)
         if bw != table.bw:
             return None
-        if budget_bytes is not None and len(stream) >= 512:
-            pair_ids = stream[:-1] * np.int32(256) + stream[1:]
-            counts = np.unique(pair_ids, return_counts=True)[1]
-            k = min(_MAX_SYMBOLS, len(counts))
-            top_sum = int(np.partition(counts, len(counts) - k)[-k:].sum())
-            saved_ub = min(top_sum, len(stream) // 2)
-            est_out = len(stream) - int(0.75 * saved_ub) + 3 * k // 4 + 4
-            if est_out >= budget_bytes:
-                return None
+        if _screen_reject(stream, budget_bytes):
+            return None
         return table.encode_stream(stream, w, lo)
 
     def decode(self, payload: bytes, n: int, bit_width: int, min_val: int) -> np.ndarray:

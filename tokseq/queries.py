@@ -1408,6 +1408,35 @@ QUERIES["embedding_near_dup"] = q_embedding_near_dup
 ORACLES["embedding_near_dup"] = ORACLE_NEAR_DUP
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal binary-column plumbing as a driver query: synthetic
+    media blobs (image/audio binary + typed metadata) -> mapInArrow
+    feature extraction (media decode STUBBED behind a deterministic
+    fake — image/audio libs are absent in this sandbox; the Spark-side
+    schema/batching/UDF plumbing is production-real) -> per-modality
+    integer aggregates. Rows-only: the fake decode is not
+    SQL-expressible. Deterministic (seeded blobs, integer norms)."""
+    from .multimodal import extract_features, synth_media_table
+
+    media = spark.createDataFrame(synth_media_table(128).to_pandas())
+    feats = extract_features(media)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("feature", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    return feats.groupBy("modality").agg(
+        F.count("*").alias("n_items"),
+        F.sum((F.round(norm, 3) * 1000).cast("long")).alias("norm_millis_sum"),
+    )
+
+
+QUERIES["multimodal_features"] = q_multimodal_features
+# rows-only: the stubbed media decode is not SQL-expressible
+
+
 def q_vocab_topk(spark, sf_dir):
     """Vocabulary frequency analysis: top-50 words across the corpus
     with deterministic ordering (count desc, word asc) — the

@@ -64,3 +64,47 @@ def test_point_lookup_raises_on_chunk_gap(spark, corpus_df, tmp_path):
     with pytest.raises(ValueError, match="gap"):
         point_lookup(spark, gap_path, doc, CHUNK_W - 5, CHUNK_W + 10,
                      chunk_width=CHUNK_W, n_buckets=None)
+
+
+def test_zone_map_membership_sound_and_prunes(spark, corpus_df, tmp_path):
+    """Zone-map data skipping (engine/lookup.py): membership computed
+    over zone-pruned chunks must equal membership over a full decode
+    (soundness: no chunk wrongly skipped), and for a probe outside
+    most regimes' value ranges the zone filter must actually prune."""
+    from pyspark.sql import functions as F
+
+    from tokseq.engine.chunk import plan_chunks
+    from tokseq.engine.decode import decode_chunks
+    from tokseq.engine.encode import encode_chunks
+    from tokseq.engine.lookup import token_membership, zone_filter
+
+    enc = encode_chunks(plan_chunks(corpus_df, CHUNK_W), chunk_width=CHUNK_W).cache()
+    # probe = a value present only in the narrow-range regime's band
+    # (1_000_000-ish); 2-bit/4-bit/lowcard/text regimes must all prune
+    probe = 1_000_007
+    got = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in token_membership(enc, probe).collect()
+    }
+    full = decode_chunks(enc).select(
+        "doc_id", F.explode("chunk_tokens").alias("t")
+    ).filter(F.col("t") == probe).groupBy("doc_id").agg(
+        F.count("*").alias("n")
+    )
+    want = {(r["doc_id"], r["n"]) for r in full.collect()}
+    assert got == want
+    n_all = enc.count()
+    n_cand = enc.filter(zone_filter(probe)).count()
+    assert n_cand < n_all // 2, (n_cand, n_all)  # real pruning
+    # soundness on a ubiquitous small token too (prunes little/nothing)
+    got0 = {(r["doc_id"], r["n_occurrences"])
+            for r in token_membership(enc, 1).collect()}
+    want0 = {
+        (r["doc_id"], r["n"])
+        for r in decode_chunks(enc)
+        .select("doc_id", F.explode("chunk_tokens").alias("t"))
+        .filter(F.col("t") == 1).groupBy("doc_id")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert got0 == want0
+    enc.unpersist()

@@ -20,6 +20,40 @@ from pyspark.sql import functions as F
 from ..codecs import get_codec
 
 
+def zone_filter(token: int):
+    """Zone-map predicate over the encoded table: chunk columns
+    (min_val, bit_width) bound every decoded value for the
+    frame-of-reference codec family — value ∈ [min_val,
+    min_val + 2^bit_width) — so chunks whose zone excludes ``token``
+    are pruned WITHOUT decoding (the Parquet row-group min/max idea,
+    applied one level deeper: inside the compressed payloads). The
+    patched codecs (pfor/pfor_ef) store exceptions WIDER than
+    bit_width, so they stay conservative candidates."""
+    hi = F.col("min_val") + F.expr("shiftleft(1L, bit_width)") - 1
+    in_zone = (F.lit(int(token)) >= F.col("min_val")) & (F.lit(int(token)) <= hi)
+    return in_zone | F.col("codec").isin("pfor", "pfor_ef")
+
+
+def token_membership(encoded_df, token: int):
+    """(doc_id, n_occurrences) of ``token`` across the encoded table:
+    zone-prune -> decode only candidate chunks -> count. At 100 TB the
+    zone predicate reaches the parquet scan (min_val/bit_width are
+    plain columns with row-group stats), so cold chunks never leave
+    storage; random-token corpora degrade gracefully to a full decode."""
+    from .decode import decode_chunks
+
+    cand = encoded_df.filter(zone_filter(token)).dropDuplicates(
+        ["doc_id", "chunk_idx"]
+    )
+    dec = decode_chunks(cand)
+    return (
+        dec.select("doc_id", F.explode("chunk_tokens").alias("t"))
+        .filter(F.col("t") == int(token))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
 def point_lookup(
     spark: SparkSession,
     encoded_path: str,

@@ -565,6 +565,45 @@ FROM toks GROUP BY source
 """
 
 
+# md5("the")[:8] as int, mod 50257 — the probe token for the
+# zone-map membership query (a high-frequency word so the result set
+# is non-trivial at sf0.01)
+_PROBE_TOKEN = 14116
+
+
+def q_token_membership(spark, sf_dir):
+    """Predicate pushdown INTO the compressed domain: find every doc
+    containing a probe token by zone-pruning the ENCODED table
+    (chunk-level [min_val, min_val + 2^bit_width) bounds — the
+    engine's zone-map / data-skipping path, engine/lookup.py) and
+    decoding only candidate chunks. The DuckDB oracle computes the
+    same membership from the raw text — a hash match certifies both
+    the pruning's soundness (no chunk wrongly skipped) and the decode."""
+    from .engine.chunk import plan_chunks
+    from .engine.encode import encode_chunks
+    from .engine.lookup import token_membership
+
+    docs = tokenize_documents_md5(spark, sf_dir)
+    enc = encode_chunks(plan_chunks(docs, 4096))
+    out = token_membership(enc, _PROBE_TOKEN)
+    # the engine keys docs by string ids (its input contract); the
+    # source table keys them by int — cast back for the compare
+    return out.select(
+        F.col("doc_id").cast("int").alias("doc_id"), "n_occurrences"
+    )
+
+
+ORACLE_TOKEN_MEMBERSHIP = f"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 50257 AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM toks WHERE tok = {_PROBE_TOKEN}
+GROUP BY doc_id
+"""
+
+
 def q_engine_roundtrip(spark, sf_dir):
     """Full engine on tokenized documents: chunk -> encode -> decode ->
     verify; per-source mismatch counts and byte totals. Rows-only
@@ -624,6 +663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_roundtrip": q_engine_roundtrip,
     "engine_roundtrip_agg": q_engine_roundtrip_agg,
     "engine_codec_summary": q_engine_codec_summary,
+    "token_membership": q_token_membership,
 }
 
 ORACLES: dict[str, str] = {
@@ -646,6 +686,8 @@ ORACLES: dict[str, str] = {
     # decoded aggregates are: engine_roundtrip_agg runs the real
     # chunk->encode->decode engine and oracles the result
     "engine_roundtrip_agg": ORACLE_ROUNDTRIP_AGG,
+    # zone-map membership: engine prune+decode vs raw-text oracle
+    "token_membership": ORACLE_TOKEN_MEMBERSHIP,
     # engine_roundtrip / engine_codec_summary: rows-only (binary codecs)
 }
 

@@ -340,24 +340,23 @@ class Split3Codec(Codec):
             return Encoded(b"", 0, 0)
         lo = int(v.min())
         d = v - lo
-        bl = bit_length(d)
         w2 = _width_of(int(d.max()))
         w1 = int(low_width) if low_width is not None else 0
         wm = int(mid_width) if mid_width is not None else 0
         if not 1 <= w1 < wm <= w2:
-            w1, wm = _best_split3_widths(bl, w2)
-        rest = bl > w1
-        d_rest = d[rest]
-        high = bl[rest] > wm
-        n_high = int(high.sum())
-        n_mid = int(len(d_rest)) - n_high
+            w1, wm = _best_split3_widths(bit_length(d), w2)
+        # threshold compares instead of bit_length: bl > w <=> d > 2^w-1
+        rest = d > ((1 << w1) - 1) if w1 < 63 else np.zeros(n, bool)
+        high_full = d > ((1 << wm) - 1) if wm < 63 else np.zeros(n, bool)
+        n_high = int(high_full.sum())
+        n_mid = int(rest.sum()) - n_high
         payload = (
             self._HDR.pack(w1, wm, w2, n_mid, n_high)
             + pack_bits_le(rest.astype(np.uint8), 1)
-            + pack_bits_le(high.astype(np.uint8), 1)
+            + pack_bits_le(high_full[rest].astype(np.uint8), 1)
             + pack_bits_le(d[~rest], w1)
-            + pack_bits_le(d_rest[~high], wm)
-            + pack_bits_le(d_rest[high], w2)
+            + pack_bits_le(d[rest & ~high_full], wm)
+            + pack_bits_le(d[high_full], w2)
         )
         return Encoded(payload, w2, lo)
 
@@ -382,9 +381,10 @@ class Split3Codec(Codec):
         high_vals = unpack_bits_le(payload[off + mb2 :], w2, n_high).astype(np.int64)
         out = np.empty(n, dtype=np.int64)
         out[~rest] = low_vals
-        rest_idx = np.flatnonzero(rest)
-        out[rest_idx[~high]] = mid_vals
-        out[rest_idx[high]] = high_vals
+        rest_vals = np.empty(n_rest, dtype=np.int64)
+        rest_vals[~high] = mid_vals
+        rest_vals[high] = high_vals
+        out[rest] = rest_vals
         return out + min_val
 
 

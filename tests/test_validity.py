@@ -114,3 +114,60 @@ def test_mask_travels_through_encode_pipeline(spark):
     # docs WITHOUT quality: mask column exists and is all-null
     enc2 = encode_chunks(plan_chunks(docs.drop("quality"), w), chunk_width=w)
     assert enc2.filter(F.col("mask").isNotNull()).count() == 0
+
+
+def test_mask_survives_encodejob_write_and_resume(spark, tmp_path):
+    """PackedNSeq pairing through the FULL job: quality-carrying docs
+    -> EncodeJob.run (write parquet) -> read back -> masks intact; a
+    resume re-encode of a doc keeps its mask column consistent."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tokseq.engine.pipeline import EncodeJob
+    from tokseq.validity import build_mask, unpack_mask
+
+    rng = np.random.default_rng(33)
+    rows, truth = [], {}
+    w = 64
+    for i in range(12):
+        n = int(rng.integers(1, 3 * w))
+        toks = rng.integers(0, 1000, n)
+        qual = rng.integers(0, 40, n)
+        rows.append((f"d{i}", [int(t) for t in toks], n, "s",
+                     [int(q) for q in qual]))
+        truth[f"d{i}"] = build_mask(toks, qual, quality_threshold=10)
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "quality array<int>",
+    ).cache()
+
+    out = str(tmp_path / "job")
+    job = EncodeJob(spark, out, chunk_width=w, n_buckets=4)
+    job.run(docs)
+    assert job.verify_roundtrip(docs) == 0
+
+    def check():
+        enc = spark.read.parquet(job.encoded_path).dropDuplicates(
+            ["doc_id", "chunk_idx"]
+        )
+        got_any = False
+        for r in enc.select("doc_id", "chunk_idx", "n_values", "mask").collect():
+            m = truth[r["doc_id"]][r["chunk_idx"] * w : r["chunk_idx"] * w + r["n_values"]]
+            if r["mask"] is None:
+                assert not m.any(), (r["doc_id"], r["chunk_idx"])
+            else:
+                got_any = True
+                assert np.array_equal(
+                    unpack_mask(bytes(r["mask"]), int(r["n_values"])), m
+                )
+        assert got_any
+
+    check()
+    # drop one doc's manifest rows, resume, re-check (incl. the re-encode)
+    man = spark.read.parquet(job.chunk_manifest_path)
+    kept = man.filter(F.col("doc_id") != "d3").toPandas()
+    spark.createDataFrame(kept).write.mode("overwrite").parquet(job.chunk_manifest_path)
+    job.run(docs, resume=True)
+    assert job.verify_roundtrip(docs) == 0
+    check()

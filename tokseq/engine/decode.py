@@ -74,6 +74,42 @@ def decode_batch_kernel(
                 flat[offsets[i] : offsets[i] + k] = vals[pos : pos + k]
                 pos += k
             done[idx] = True
+    # dict: its dominant cost is the n-value index stream — also
+    # byte-aligned for n%8==0 — so batch the index unpacks by index
+    # width; the (small) per-chunk dictionary decode + gather remain
+    dcand = np.flatnonzero((codec_arr == "dict") & groupable)
+    if len(dcand):
+        from ..codecs import packed_size
+        from ..codecs.simple import DictCodec
+
+        hdrs = [DictCodec._HDR.unpack_from(payloads[i], 0) for i in dcand]
+        wi_arr = np.array([h[2] for h in hdrs])
+        hsz = DictCodec._HDR.size
+        for w in np.unique(wi_arr):
+            if w in (0, 8, 16, 32):
+                continue  # constant chunks / memcpy-class index widths
+            grp = np.flatnonzero(wi_arr == w)
+            sections = []
+            for j in grp:
+                i = dcand[j]
+                card, wd, _ = hdrs[j]
+                off = hsz + packed_size(card, wd)
+                sections.append(payloads[i][off : off + packed_size(int(ns[i]), int(w))])
+            allidx = unpack_bits_le(
+                b"".join(sections), int(w), int(ns[dcand[grp]].sum())
+            ).astype(np.int64)
+            pos = 0
+            for j in grp:
+                i = dcand[j]
+                card, wd, _ = hdrs[j]
+                k = int(ns[i])
+                uniq = unpack_bits_le(
+                    payloads[i][hsz : hsz + packed_size(card, wd)], wd, card
+                ).astype(np.int64) + int(mins[i])
+                flat[offsets[i] : offsets[i] + k] = uniq[allidx[pos : pos + k]]
+                pos += k
+            done[dcand[grp]] = True
+
     for i in range(n_chunks):
         if done[i]:
             continue

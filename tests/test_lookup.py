@@ -108,3 +108,17 @@ def test_zone_map_membership_sound_and_prunes(spark, corpus_df, tmp_path):
     }
     assert got0 == want0
     enc.unpersist()
+
+
+def test_zone_filter_min_val_bound_is_pushed_down(spark, corpus_df, tmp_path):
+    """The universal value >= min_val bound must reach the parquet
+    scan as a pushed filter (row-group pruning at 100 TB)."""
+    from tokseq.engine.lookup import zone_filter
+    from tokseq.engine.pipeline import EncodeJob
+
+    out = str(tmp_path / "zf")
+    job = EncodeJob(spark, out, chunk_width=CHUNK_W, n_buckets=4)
+    job.run(corpus_df)
+    enc = spark.read.parquet(job.encoded_path).filter(zone_filter(1_000_007))
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThanOrEqual(min_val" in plan, plan[:800]

@@ -30,8 +30,13 @@ def zone_filter(token: int):
     patched codecs (pfor/pfor_ef) store exceptions WIDER than
     bit_width, so they stay conservative candidates."""
     hi = F.col("min_val") + F.expr("shiftleft(1L, bit_width)") - 1
-    in_zone = (F.lit(int(token)) >= F.col("min_val")) & (F.lit(int(token)) <= hi)
-    return in_zone | F.col("codec").isin("pfor", "pfor_ef")
+    # every codec is frame-of-reference-shifted, so value >= min_val
+    # holds unconditionally — keep that bound OUTSIDE the codec OR so
+    # it survives as a top-level conjunct Spark can push to the
+    # parquet scan (row-group stats pruning on the min_val column)
+    return (F.lit(int(token)) >= F.col("min_val")) & (
+        (F.lit(int(token)) <= hi) | F.col("codec").isin("pfor", "pfor_ef")
+    )
 
 
 def token_membership(encoded_df, token: int):

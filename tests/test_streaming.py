@@ -55,3 +55,42 @@ def test_stream_encode_incremental(spark, tmp_path):
     assert man.count() == enc.count()
     assert man.agg(F.sum("out_bytes")).collect()[0][0] == \
         enc.agg(F.sum("out_bytes")).collect()[0][0]
+
+
+def test_stateful_source_stats_accumulate_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-source cumulative (n_docs, n_tokens,
+    token_sum) keyed state must ACCUMULATE across a checkpointed
+    restart (second availableNow drain sees only the new file but
+    continues the counts), and the final state must equal the batch
+    ground truth."""
+    import numpy as np
+
+    from tokseq.engine.streaming import stream_source_stats
+
+    table = generate_corpus(scale=0.1, include_boundary=False)
+    n = table.num_rows
+    in_dir = tmp_path / "sin"
+    out_dir = str(tmp_path / "sout")
+    os.makedirs(in_dir)
+
+    _write_slice(table, 0, n // 2, str(in_dir / "part-0.parquet"))
+    q = stream_source_stats(spark, str(in_dir), out_dir)
+    q.awaitTermination()
+    _write_slice(table, n // 2, n, str(in_dir / "part-1.parquet"))
+    q = stream_source_stats(spark, str(in_dir), out_dir)
+    q.awaitTermination()
+
+    stats = spark.read.parquet(os.path.join(out_dir, "source_stats"))
+    # latest update row per source = current cumulative state
+    latest = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["token_sum"])
+        for r in stats.orderBy("batch_id").collect()
+    }
+    pdf = table.to_pandas()
+    for source, grp in pdf.groupby("source"):
+        want = (
+            len(grp),
+            int(grp["n_tok"].sum()),
+            int(sum(int(np.asarray(t, dtype=np.int64).sum()) for t in grp["tokens"])),
+        )
+        assert latest[source] == want, source

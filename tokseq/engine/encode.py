@@ -315,10 +315,22 @@ def _encode_map(
             quality = None
             if has_quality:
                 quality, q_off = list_column_to_numpy(batch.column("chunk_quality"))
-                if len(quality) != len(values):
+                # compare per-row offsets, not just flat totals: per-row
+                # length mismatches whose totals coincide would silently
+                # shift every subsequent chunk's bitmap onto the wrong
+                # tokens
+                if len(q_off) != len(row_offsets) or not np.array_equal(
+                    q_off, row_offsets
+                ):
+                    bad = (
+                        int(np.flatnonzero(q_off != row_offsets)[0]) - 1
+                        if len(q_off) == len(row_offsets)
+                        else -1
+                    )
                     raise ValueError(
                         "chunk_quality arrays must align with chunk_tokens "
-                        f"({len(quality)} quality vs {len(values)} tokens)"
+                        f"per row (first mismatched row index: {bad}; "
+                        f"{len(quality)} quality vs {len(values)} tokens)"
                     )
             masks = mask_batch_kernel(
                 values, quality, offsets, quality_threshold, mask_vocab

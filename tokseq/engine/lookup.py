@@ -35,7 +35,13 @@ def zone_filter(token: int):
     # it survives as a top-level conjunct Spark can push to the
     # parquet scan (row-group stats pruning on the min_val column)
     return (F.lit(int(token)) >= F.col("min_val")) & (
-        (F.lit(int(token)) <= hi) | F.col("codec").isin("pfor", "pfor_ef")
+        (F.lit(int(token)) <= hi)
+        | F.col("codec").isin("pfor", "pfor_ef")
+        # Spark masks shift counts to 6 bits, so shiftleft(1L, 64) == 1L
+        # and the hi bound would collapse to min_val: treat width >= 64
+        # as unbounded (unreachable under the int32 token contract, but
+        # sound if the engine ever carries 64-bit values)
+        | (F.col("bit_width") >= 64)
     )
 
 

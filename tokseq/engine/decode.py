@@ -18,7 +18,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..codecs import get_codec, unpack_bits_le
+from ..codecs import get_codec, unpack_bits_le, unpack_bits_u8
 
 DECODED_SCHEMA = "doc_id string, chunk_idx int, chunk_tokens array<int>"
 DECODED_MASK_SCHEMA = DECODED_SCHEMA + ", mask binary"
@@ -74,41 +74,79 @@ def decode_batch_kernel(
                 flat[offsets[i] : offsets[i] + k] = vals[pos : pos + k]
                 pos += k
             done[idx] = True
-    # dict: its dominant cost is the n-value index stream — also
-    # byte-aligned for n%8==0 — so batch the index unpacks by index
-    # width; the (small) per-chunk dictionary decode + gather remain
+    # dict: batch BOTH streams across chunks. The n-value index stream
+    # is byte-aligned for n%8==0 (one unpack per index width); the
+    # dictionary stream is 8-FIELD padded at encode (codecs/simple.py
+    # _pack_padded) so same-width dictionaries also concatenate — one
+    # unpack per dictionary width instead of one tiny unpack per chunk
+    # (the tiny calls were the dominant cost: ~30 values each).
     dcand = np.flatnonzero((codec_arr == "dict") & groupable)
     if len(dcand):
         from ..codecs import packed_size
-        from ..codecs.simple import DictCodec
+        from ..codecs.simple import DictCodec, _pad8
 
         hdrs = [DictCodec._HDR.unpack_from(payloads[i], 0) for i in dcand]
-        wi_arr = np.array([h[2] for h in hdrs])
         hsz = DictCodec._HDR.size
+        harr = np.array(hdrs, dtype=np.int64)
+        cards, wds, wi_arr = harr[:, 0], harr[:, 1], harr[:, 2]
+        dict_end = hsz + (cards + 7) // 8 * wds  # pad8(card)*wd/8 bytes
+        # dictionaries: one unpack per wd, mins folded in vectorized
+        dict_all = np.empty(int(cards.sum()), np.int64)
+        doffs = np.concatenate(([0], np.cumsum(cards))).astype(np.int64)
+        _gather_padded_streams(
+            payloads, dcand, np.full(len(dcand), hsz), dict_end, wds, cards, dict_all
+        )
+        dict_all += np.repeat(np.asarray(mins)[dcand], cards)
+        # int32 once here (token contract) -> every per-chunk gather
+        # below writes int32 directly instead of casting 4M+ values
+        dict_all = dict_all.astype(np.int32)
+        # index streams: one unpack per distinct wi (memcpy-class
+        # widths stay per-chunk: frombuffer views beat join+copy there)
+        idx_of: dict[int, np.ndarray] = {}
         for w in np.unique(wi_arr):
             if w in (0, 8, 16, 32):
-                continue  # constant chunks / memcpy-class index widths
+                continue
             grp = np.flatnonzero(wi_arr == w)
-            sections = []
-            for j in grp:
-                i = dcand[j]
-                card, wd, _ = hdrs[j]
-                off = hsz + packed_size(card, wd)
-                sections.append(payloads[i][off : off + packed_size(int(ns[i]), int(w))])
-            allidx = unpack_bits_le(
-                b"".join(sections), int(w), int(ns[dcand[grp]].sum())
-            ).astype(np.int64)
+            buf = b"".join(
+                payloads[dcand[j]][
+                    dict_end[j] : dict_end[j] + packed_size(int(ns[dcand[j]]), int(w))
+                ]
+                for j in grp
+            )
+            allidx = unpack_bits_le(buf, int(w), int(ns[dcand[grp]].sum()))
             pos = 0
             for j in grp:
-                i = dcand[j]
-                card, wd, _ = hdrs[j]
-                k = int(ns[i])
-                uniq = unpack_bits_le(
-                    payloads[i][hsz : hsz + packed_size(card, wd)], wd, card
-                ).astype(np.int64) + int(mins[i])
-                flat[offsets[i] : offsets[i] + k] = uniq[allidx[pos : pos + k]]
+                k = int(ns[dcand[j]])
+                idx_of[int(j)] = allidx[pos : pos + k]
                 pos += k
-            done[dcand[grp]] = True
+        for j, i in enumerate(dcand):
+            k = int(ns[i])
+            uniq = dict_all[doffs[j] : doffs[j + 1]]
+            w = int(wi_arr[j])
+            if w == 0:
+                flat[offsets[i] : offsets[i] + k] = uniq[0]
+            else:
+                idx = idx_of.get(j)
+                if idx is None:
+                    idx = unpack_bits_le(
+                        payloads[i][dict_end[j] : dict_end[j] + packed_size(k, w)],
+                        w, k,
+                    )
+                flat[offsets[i] : offsets[i] + k] = uniq[idx]
+        done[dcand] = True
+
+    # split / split3: their value streams are 8-FIELD padded at encode
+    # (codecs/simple.py _pack_padded) precisely so that same-width
+    # streams from different chunks concatenate into one continuous
+    # bit stream — one unpack per distinct width per stream kind
+    # instead of 3 (split) / 5 (split3) unpacks per chunk.
+    for name in ("split", "split3"):
+        grp = np.flatnonzero((codec_arr == name) & groupable)
+        if len(grp):
+            _decode_split_group(
+                name, grp, payloads, np.asarray(mins), ns, offsets, flat
+            )
+            done[grp] = True
 
     for i in range(n_chunks):
         if done[i]:
@@ -118,6 +156,118 @@ def decode_batch_kernel(
             payloads[i], int(ns[i]), int(widths[i]), int(mins[i])
         )
     return flat, offsets
+
+
+def _gather_padded_streams(payloads, grp, starts, ends, widths_arr, counts, dest):
+    """Unpack same-width 8-field-padded sections in ONE call per
+    distinct width, then slice each chunk's fields (dropping its pad)
+    into ``dest`` (group order). ``starts``/``ends`` are per-group-index
+    byte ranges inside each payload."""
+    padded = (counts + 7) // 8 * 8
+    dest_offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    for w in np.unique(widths_arr):
+        sel = np.flatnonzero(widths_arr == w)
+        buf = b"".join(payloads[grp[j]][starts[j] : ends[j]] for j in sel)
+        if w == 1:
+            vals = unpack_bits_u8(buf, int(padded[sel].sum()))
+        else:
+            vals = unpack_bits_le(buf, int(w), int(padded[sel].sum()))
+        pos = 0
+        for j in sel:
+            k = int(counts[j])
+            dest[dest_offs[j] : dest_offs[j] + k] = vals[pos : pos + k]
+            pos += int(padded[j])
+
+
+def _decode_split_group(name, grp, payloads, mins, ns, offsets, flat):
+    """Batched split/split3 decode. Engine contract: tokens are int32,
+    so all group buffers are int32 (half the scatter traffic of the
+    generic int64 codec path); the per-chunk min is added fused into
+    the final copy (one pass instead of repeat + iadd + copy)."""
+    from ..codecs.simple import SPLIT, SPLIT3
+
+    is3 = name == "split3"
+    hdr = (SPLIT3 if is3 else SPLIT)._HDR
+    hsz = hdr.size
+    hdrs = [hdr.unpack_from(payloads[i], 0) for i in grp]
+    ns_g = ns[grp]
+    total = int(ns_g.sum())
+    goff = np.concatenate(([0], np.cumsum(ns_g))).astype(np.int64)
+
+    # stream geometry per chunk (group order); all byte ranges precomputed
+    harr = np.array(hdrs, dtype=np.int64)
+    if is3:
+        w1s, wms, w2s, n_mid, n_high = (harr[:, k] for k in range(5))
+        n_rest = n_mid + n_high
+        n_low = ns_g - n_rest
+    else:
+        w1s, w2s, n_high = (harr[:, k] for k in range(3))
+        n_low = ns_g - n_high
+
+    def _pad8_arr(k):
+        return (k + 7) // 8 * 8
+
+    mask_end = hsz + ns_g // 8  # primary mask: n bits, n % 8 == 0
+    if is3:
+        mask2_end = mask_end + (n_rest + 7) // 8
+        low_start = mask2_end
+    else:
+        low_start = mask_end
+    low_end = low_start + _pad8_arr(n_low) * w1s // 8
+    if is3:
+        mid_end = low_end + _pad8_arr(n_mid) * wms // 8
+        high_end = mid_end + _pad8_arr(n_high) * w2s // 8
+    else:
+        high_end = low_end + _pad8_arr(n_high) * w2s // 8
+
+    # 1) primary masks -> one 1-bit unpack straight to uint8
+    mask_buf = b"".join(payloads[grp[j]][hsz : mask_end[j]] for j in range(len(grp)))
+    sel_u8 = unpack_bits_u8(mask_buf, total)
+    sel_g = sel_u8.view(bool)
+
+    flat_g = np.empty(total, np.int32)
+
+    # index-based scatters: flatnonzero + fancy assignment is ~1.5-4x
+    # a boolean-mask assignment at these sizes (measured on this box)
+    low_idx = np.flatnonzero(sel_u8 == 0)
+    rest_idx = np.flatnonzero(sel_g)
+
+    if is3:
+        # 2) secondary mask: n_rest bits, per-chunk byte-padded == an
+        # 8-field-padded 1-bit stream -> also one unpack
+        high_rest = np.empty(int(n_rest.sum()), np.uint8)
+        _gather_padded_streams(
+            payloads, grp, mask_end, mask2_end,
+            np.ones(len(grp), np.int64), n_rest, high_rest,
+        )
+
+        low_all = np.empty(int(n_low.sum()), np.int32)
+        mid_all = np.empty(int(n_mid.sum()), np.int32)
+        high_all = np.empty(int(n_high.sum()), np.int32)
+        _gather_padded_streams(payloads, grp, low_start, low_end, w1s, n_low, low_all)
+        _gather_padded_streams(payloads, grp, low_end, mid_end, wms, n_mid, mid_all)
+        _gather_padded_streams(payloads, grp, mid_end, high_end, w2s, n_high, high_all)
+        # group-global scatter: index order is chunk-major,
+        # position-minor — exactly the stream layout
+        flat_g[low_idx] = low_all
+        flat_g[rest_idx[np.flatnonzero(high_rest == 0)]] = mid_all
+        flat_g[rest_idx[np.flatnonzero(high_rest)]] = high_all
+    else:
+        low_all = np.empty(int(n_low.sum()), np.int32)
+        high_all = np.empty(int(n_high.sum()), np.int32)
+        _gather_padded_streams(payloads, grp, low_start, low_end, w1s, n_low, low_all)
+        _gather_padded_streams(payloads, grp, low_end, high_end, w2s, n_high, high_all)
+        flat_g[low_idx] = low_all
+        flat_g[rest_idx] = high_all
+
+    # fused min-add + copy back to batch positions (token domain is
+    # int32 by engine contract, so int32 arithmetic cannot overflow)
+    for j, i in enumerate(grp):
+        np.add(
+            flat_g[goff[j] : goff[j + 1]],
+            np.int32(mins[i]),
+            out=flat[offsets[i] : offsets[i + 1]],
+        )
 
 
 def _decode_map(

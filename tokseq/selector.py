@@ -77,7 +77,8 @@ def estimate_sizes(st: ChunkStats) -> np.ndarray:
     bitpack = _bytes(n, w_full)
     for_ = _bytes(n, w_for)
     rle = RLE_HDR + _bytes(r, w_for) + _bytes(r, w_rl)
-    dict_ = DICT_HDR + _bytes(st.card, w_for) + _bytes(n, w_card)
+    # dict's dictionary stream is 8-FIELD padded (pad8(card)*wd/8 bytes)
+    dict_ = DICT_HDR + ((st.card + 7) // 8) * w_for + _bytes(n, w_card)
 
     # pfor: from the bit-length histogram, cost(wb) = n*wb bits + exceptions
     # at ~ (bit_length(n) + w_for) bits each (position delta + value).
@@ -105,12 +106,13 @@ def estimate_sizes(st: ChunkStats) -> np.ndarray:
     split_bits[:, 0] = np.iinfo(np.int64).max // 2  # w1 >= 1
     split_w1 = np.argmin(split_bits, axis=1)
     nl = np.take_along_axis(n_low, split_w1[:, None], 1).ravel()
-    # exact bytes: three independently byte-padded streams + header
+    # exact bytes: mask byte-padded; value streams 8-FIELD padded
+    # (pad8(k)*w/8 == ceil(k/8)*w bytes) to match _pack_padded
     split = (
         SPLIT_HDR
         + (n + 7) // 8
-        + (nl * split_w1 + 7) // 8
-        + ((n - nl) * w_for + 7) // 8
+        + ((nl + 7) // 8) * split_w1
+        + ((n - nl + 7) // 8) * w_for
     )
 
     # pfor_ef (true Elias-Fano exception positions,
@@ -152,13 +154,14 @@ def estimate_sizes(st: ChunkStats) -> np.ndarray:
         w1v = np.argmin(cost_1, axis=1)
     c1f = np.take_along_axis(n_low, w1v[:, None], 1).ravel()
     cmf = np.take_along_axis(n_low, wmv[:, None], 1).ravel()
+    # masks byte-padded; the three value streams 8-FIELD padded
     split3 = (
         SPLIT3_HDR
         + (n + 7) // 8
         + (n - c1f + 7) // 8
-        + (c1f * w1v + 7) // 8
-        + ((cmf - c1f) * wmv + 7) // 8
-        + ((n - cmf) * w_for + 7) // 8
+        + ((c1f + 7) // 8) * w1v
+        + ((cmf - c1f + 7) // 8) * wmv
+        + ((n - cmf + 7) // 8) * w_for
     )
     split3[(w1v < 1) | (wmv <= w1v)] = big
 

@@ -185,3 +185,61 @@ def test_approx_stats_selection_parity():
         assert (ex.names() == ap.names()).all()
         assert (ex.est_bytes == ap.est_bytes).all()
         assert (ex.floor_bytes == ap.floor_bytes).all()
+
+
+def test_speed_margin_argmin_invariant():
+    """Cost-aware selection: the chosen codec minimizes size * SPEED_MULT
+    over all candidates — a slower-decode codec wins only when its size
+    saving exceeds the multiplier gap (read-heavy store bias)."""
+    from tokseq.selector import SPEED_MULT, estimate_sizes
+
+    rng = np.random.default_rng(3)
+    chunks = []
+    for t in range(40):
+        k = int(rng.integers(64, 5000))
+        v = rng.integers(0, 64, k)
+        m = rng.random(k) < rng.random() * 0.6
+        v[m] = rng.integers(0, 1 << int(rng.integers(8, 30)), int(m.sum()))
+        chunks.append(v)
+    st = compute_chunk_stats(*make_batch(chunks))
+    sel = select(st)
+    sizes = estimate_sizes(st)[0]
+    weighted = sizes * SPEED_MULT[:, None]
+    best = weighted.min(axis=0)
+    chosen = np.take_along_axis(weighted, sel.codec_idx[None, :], 0).ravel()
+    assert np.allclose(chosen, best)
+    # and the reported est_bytes is the TRUE size of the pick, not weighted
+    true_chosen = np.take_along_axis(sizes, sel.codec_idx[None, :], 0).ravel()
+    assert np.array_equal(sel.est_bytes, true_chosen)
+
+
+def test_speed_margin_prefers_faster_codec_on_near_tie():
+    """A hand-built near-tie: if split3's estimate is within the margin
+    of split's, selection must fall to the faster split — checked by
+    comparing raw argmin (which would pick the slow codec) against the
+    weighted pick on any chunk where the two differ."""
+    from tokseq.selector import SPEED_MULT, estimate_sizes
+
+    rng = np.random.default_rng(9)
+    chunks = []
+    for t in range(200):
+        k = 4096
+        v = np.minimum(
+            np.exp(rng.random(k) * np.log(2 ** int(rng.integers(8, 18)))).astype(
+                np.int64
+            )
+            - 1,
+            1 << 20,
+        )
+        chunks.append(v)
+    st = compute_chunk_stats(*make_batch(chunks))
+    sel = select(st)
+    sizes = estimate_sizes(st)[0]
+    raw_idx = np.argmin(sizes, axis=0)
+    diff = np.flatnonzero(raw_idx != sel.codec_idx)
+    for i in diff:
+        raw_c, picked_c = int(raw_idx[i]), int(sel.codec_idx[i])
+        # the flip must always be toward a faster (lower-mult) codec
+        assert SPEED_MULT[picked_c] < SPEED_MULT[raw_c]
+        # and the raw winner's saving was inside the margin
+        assert sizes[raw_c, i] * SPEED_MULT[raw_c] >= sizes[picked_c, i]

@@ -39,6 +39,21 @@ SPLIT3_HDR = 11
 
 CODEC_NAMES = ("bitpack", "for", "rle", "dict", "pfor", "split", "pfor_ef", "split3")
 
+# Decode-cost-aware selection: a slower-to-decode codec must beat a
+# faster one by at least the multiplier gap, not merely tie it. The
+# tiers follow the measured single-core batched decode rates
+# (BENCH/KERNELS.md): bitpack/for are the fast floor, rle/dict decode
+# at 66-76 Mtok/s, split ~40, pfor/pfor_ef (per-chunk patch scatter)
+# and split3 (5 streams) ~25-30. A 100-TB store is read-heavy, so the
+# argmin runs on size*mult: e.g. split3 only displaces split when it
+# saves >= ~1.5% of bytes, and displaces bitpack only at >= 3%.
+# Multipliers are small enough that the "payload <= bitpack floor"
+# guarantee is untouched (bitpack has the lowest multiplier, so any
+# winner satisfies size_c * mult_c <= floor * 1.0 => size_c <= floor).
+SPEED_MULT = np.array(
+    [1.000, 1.000, 1.005, 1.010, 1.020, 1.015, 1.020, 1.030]
+)
+
 
 def _w(x: np.ndarray) -> np.ndarray:
     """Effective field width: bit_length, floored at 1."""
@@ -173,8 +188,10 @@ def estimate_sizes(st: ChunkStats) -> np.ndarray:
 
 def select(st: ChunkStats, enable_fsst: bool = True) -> Selection:
     sizes, pfor_wb, split_w1, pfor_ef_wb, split3_w1, split3_wm = estimate_sizes(st)
-    # prefer lower codec index on ties -> bitpack wins ties (simplest decode)
-    codec_idx = np.argmin(sizes, axis=0)
+    # cost-aware argmin: size weighted by the decode-speed multiplier;
+    # prefer lower codec index on ties -> bitpack wins ties (simplest
+    # decode). est_bytes stays the TRUE size of the pick (manifests).
+    codec_idx = np.argmin(sizes * SPEED_MULT[:, None], axis=0)
     est = np.take_along_axis(sizes, codec_idx[None, :], 0).ravel()
     floor = sizes[0]
     # fsst candidacy: big-enough chunk, >= 9-bit values, and the best

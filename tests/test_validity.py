@@ -171,3 +171,65 @@ def test_mask_survives_encodejob_write_and_resume(spark, tmp_path):
     job.run(docs, resume=True)
     assert job.verify_roundtrip(docs) == 0
     check()
+
+
+def test_mask_travels_through_corpus_path_fast_path(spark, tmp_path):
+    """The production fast path (EncodeJob.run(corpus_path=...), i.e.
+    the worker-side pyarrow direct scan) must carry validity bitmaps
+    exactly like the DataFrame route — a quality-carrying corpus on
+    disk keeps its PackedNSeq pairing (reference packed_n_seq.rs:79-136)."""
+    import numpy as np
+    import pandas as pd
+
+    from tokseq.engine.decode import decode_chunks
+    from tokseq.engine.pipeline import EncodeJob
+    from tokseq.validity import build_mask, unpack_mask
+
+    rng = np.random.default_rng(55)
+    w = 64
+    rows, truth = [], {}
+    for i in range(30):
+        n = int(rng.integers(0, 4 * w))
+        toks = rng.integers(0, 1000, n)
+        qual = rng.integers(0, 40, n)
+        rows.append(
+            {
+                "doc_id": f"d{i:02d}",
+                "tokens": toks.astype("int32").tolist(),
+                "n_tok": n,
+                "source": "s",
+                "quality": qual.astype("int32").tolist(),
+            }
+        )
+        truth[f"d{i:02d}"] = build_mask(toks, qual, quality_threshold=10)
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(pd.DataFrame(rows)).repartition(3).write.parquet(corpus)
+
+    job = EncodeJob(spark, str(tmp_path / "out"), chunk_width=w)
+    job.run(corpus_path=corpus)  # fast path: no docs DataFrame
+    dec = decode_chunks(job.encoded(), with_mask=True).collect()
+    assert len(dec) > 0
+    seen_mask = False
+    for r in dec:
+        m = truth[r["doc_id"]][
+            r["chunk_idx"] * w : r["chunk_idx"] * w + len(r["chunk_tokens"])
+        ]
+        if r["mask"] is None:
+            assert not m.any(), (r["doc_id"], r["chunk_idx"])
+        else:
+            seen_mask = True
+            assert np.array_equal(
+                unpack_mask(bytes(r["mask"]), len(r["chunk_tokens"])), m
+            )
+    assert seen_mask
+
+    # a corpus WITHOUT quality on the same path: all-null masks
+    corpus2 = str(tmp_path / "corpus2")
+    spark.createDataFrame(
+        pd.DataFrame([{k: v for k, v in r.items() if k != "quality"} for r in rows])
+    ).write.parquet(corpus2)
+    job2 = EncodeJob(spark, str(tmp_path / "out2"), chunk_width=w)
+    job2.run(corpus_path=corpus2)
+    from pyspark.sql import functions as F
+
+    assert job2.encoded().filter(F.col("mask").isNotNull()).count() == 0

@@ -66,6 +66,8 @@ class EncodeJob:
         n_buckets: int = DEFAULT_BUCKETS,
         enable_fsst: bool = True,
         num_partitions: int | None = None,
+        quality_threshold: int = 10,
+        mask_vocab: int | None = None,
     ):
         if chunk_width < 16:
             # W=1-ish widths explode row counts (one row per token) and
@@ -77,6 +79,8 @@ class EncodeJob:
         self.n_buckets = n_buckets
         self.enable_fsst = enable_fsst
         self.num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+        self.quality_threshold = quality_threshold
+        self.mask_vocab = mask_vocab
 
     # --- paths ---
     @property
@@ -126,13 +130,17 @@ class EncodeJob:
             encoded = encode_parquet_direct(
                 self.spark, corpus_path, self.chunk_width,
                 self.enable_fsst, self.num_partitions,
+                self.quality_threshold, self.mask_vocab,
             )
         else:
             if docs is None:
                 docs = self.spark.read.parquet(corpus_path)
             chunks = self.plan(docs, resume=resume)
             chunks = repartition_chunks(chunks, self.num_partitions)
-            encoded = encode_chunks(chunks, self.enable_fsst, self.chunk_width)
+            encoded = encode_chunks(
+                chunks, self.enable_fsst, self.chunk_width,
+                self.quality_threshold, self.mask_vocab,
+            )
         # bucket must survive the encode kernel: recompute (deterministic)
         encoded = with_bucket(encoded, self.n_buckets)
 

@@ -89,11 +89,17 @@ def _splits_df(spark, splits):
 
 
 def _scan_encode_map(
-    batches: Iterator[pa.RecordBatch], enable_fsst: bool, chunk_width: int
+    batches: Iterator[pa.RecordBatch],
+    enable_fsst: bool,
+    chunk_width: int,
+    quality_threshold: int = 10,
+    mask_vocab: int | None = None,
 ) -> Iterator[pa.RecordBatch]:
     import pyarrow.parquet as pq
 
     from pyspark import TaskContext
+
+    from .encode import mask_batch_kernel
 
     ctx = TaskContext.get()
     part_id = ctx.partitionId() if ctx is not None else -1
@@ -101,9 +107,15 @@ def _scan_encode_map(
         paths = b.column("path").to_pylist()
         groups = b.column("row_group").to_pylist()
         for path, rg in zip(paths, groups):
-            tbl = pq.ParquetFile(path).read_row_group(
-                rg, columns=["doc_id", "tokens", "source"]
+            pf = pq.ParquetFile(path)
+            # corpora carrying a per-token quality column keep their
+            # validity bitmaps on the fast path too (the PackedNSeq
+            # pairing, /root/reference/src/packed_n_seq.rs:79-136)
+            has_quality = "quality" in pf.schema_arrow.names
+            cols = ["doc_id", "tokens", "source"] + (
+                ["quality"] if has_quality else []
             )
+            tbl = pf.read_row_group(rg, columns=cols)
             values, row_offsets = list_column_to_numpy(tbl.column("tokens"))
             base_idx = np.zeros(tbl.num_rows, dtype=np.int64)
             offsets, row_of, chunk_idx = rechunk_offsets(
@@ -114,6 +126,23 @@ def _scan_encode_map(
             doc_id = tbl.column("doc_id").combine_chunks().take(take)
             source = tbl.column("source").combine_chunks().take(take)
             n = len(chunk_idx)
+            if has_quality or mask_vocab is not None:
+                quality = None
+                if has_quality:
+                    quality, q_off = list_column_to_numpy(tbl.column("quality"))
+                    if len(q_off) != len(row_offsets) or not np.array_equal(
+                        q_off, row_offsets
+                    ):
+                        raise ValueError(
+                            f"quality arrays must align with tokens per row "
+                            f"({path} row group {rg})"
+                        )
+                masks = mask_batch_kernel(
+                    values, quality, offsets, quality_threshold, mask_vocab
+                )
+                mask_arr = pa.array(masks, pa.binary())
+            else:
+                mask_arr = pa.nulls(n, pa.binary())
             yield pa.RecordBatch.from_arrays(
                 [
                     doc_id,
@@ -128,7 +157,7 @@ def _scan_encode_map(
                     pa.array(out["out_bytes"], pa.int64()),
                     pa.array(out["floor_bytes"], pa.int64()),
                     pa.array(np.full(n, part_id, dtype=np.int32), pa.int32()),
-                    pa.nulls(n, pa.binary()),  # mask: direct scan reads tokens only
+                    mask_arr,
                 ],
                 schema=_ENCODED_PA_SCHEMA,
             )
@@ -189,6 +218,8 @@ def encode_parquet_direct(
     chunk_width: int = 4096,
     enable_fsst: bool = True,
     num_partitions: int | None = None,
+    quality_threshold: int = 10,
+    mask_vocab: int | None = None,
 ):
     """Encode a parquet corpus via worker-side pyarrow reads.
 
@@ -202,7 +233,9 @@ def encode_parquet_direct(
     # (a work-stealing pool over row groups), LPT-ordered
     sdf = _splits_df(spark, splits)
     return sdf.mapInArrow(
-        lambda it: _scan_encode_map(it, enable_fsst, chunk_width),
+        lambda it: _scan_encode_map(
+            it, enable_fsst, chunk_width, quality_threshold, mask_vocab
+        ),
         ENCODED_SCHEMA,
     )
 

@@ -75,24 +75,60 @@ def windowed_any_naive(mask: np.ndarray, k: int) -> np.ndarray:
     return np.array([mask[i : i + k].any() for i in range(n - k + 1)], dtype=bool)
 
 
+def _flatten_list_column(arr) -> tuple[np.ndarray, np.ndarray]:
+    """list<int*> -> (flat values, offsets); null rows count as empty
+    (flatten() already skips their values)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    values = arr.flatten().to_numpy(zero_copy_only=False)
+    lens = (
+        arr.value_lengths().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    return values, np.concatenate(([0], np.cumsum(lens)))
+
+
 def _mask_map(batches: Iterator[pa.RecordBatch], threshold: int, vocab: int | None):
     for b in batches:
-        toks = b.column("tokens")
-        quals = b.column("quality")
-        n_rows = b.num_rows
-        payloads, ns, nm = [], [], []
-        for i in range(n_rows):
-            t = np.asarray(toks[i].as_py() or [], dtype=np.int64)
-            q = np.asarray(quals[i].as_py() or [], dtype=np.int64)
-            m = build_mask(t, q if len(q) else None, threshold, vocab)
-            payloads.append(pack_mask(m))
-            ns.append(len(m))
-            nm.append(int(m.sum()))
+        t_vals, t_off = _flatten_list_column(b.column("tokens"))
+        q_vals, q_off = _flatten_list_column(b.column("quality"))
+        # vocab part over the whole flat token array (no per-row Python)
+        m = build_mask(t_vals, None, threshold, vocab)
+        t_lens = np.diff(t_off)
+        q_lens = np.diff(q_off)
+        if np.array_equal(q_off, t_off):
+            # every row carries aligned quality: one flat comparison
+            if len(q_vals):
+                m |= np.asarray(q_vals) < threshold
+        else:
+            bad = (q_lens != t_lens) & (q_lens != 0)
+            if bad.any():
+                i = int(np.flatnonzero(bad)[0])
+                raise ValueError(
+                    f"quality length {int(q_lens[i])} != tokens length "
+                    f"{int(t_lens[i])} at row {i}"
+                )
+            # rows with quality (q_len == t_len > 0): map their flat
+            # quality positions onto token positions, still vectorized
+            rows = np.flatnonzero((q_lens == t_lens) & (t_lens > 0))
+            if len(rows):
+                k = t_lens[rows]
+                within = np.arange(int(k.sum()), dtype=np.int64) - np.repeat(
+                    np.concatenate(([0], np.cumsum(k)))[:-1], k
+                )
+                tpos = np.repeat(t_off[rows], k) + within
+                qpos = np.repeat(q_off[rows], k) + within
+                m[tpos] |= np.asarray(q_vals)[qpos] < threshold
+        # per-row counts via prefix sums (reduceat chokes on empty rows)
+        cs = np.concatenate(([0], np.cumsum(m.astype(np.int64))))
+        nm = cs[t_off[1:]] - cs[t_off[:-1]]
+        payloads = [
+            pack_mask(m[t_off[i] : t_off[i + 1]]) for i in range(b.num_rows)
+        ]
         yield pa.RecordBatch.from_arrays(
             [
                 b.column("doc_id"),
-                pa.array(ns, pa.int32()),
-                pa.array(nm, pa.int32()),
+                pa.array(t_lens.astype(np.int32), pa.int32()),
+                pa.array(nm.astype(np.int32), pa.int32()),
                 pa.array(payloads, pa.binary()),
             ],
             names=["doc_id", "n", "n_masked", "mask"],

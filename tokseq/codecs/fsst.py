@@ -208,10 +208,33 @@ def _screen_reject(stream: np.ndarray, budget_bytes: int | None) -> bool:
     s = stream[: _SCREEN_SAMPLE]
     pair_ids = s[:-1] * np.int32(256) + s[1:]
     counts = np.unique(pair_ids, return_counts=True)[1]
+    # only pairs that would clear the learner's own count floor can
+    # become symbols — scale _MIN_PAIR_COUNT to the sampled prefix.
+    # Without this, near-random bytes (count-1/2 collisions among the
+    # sampled pairs) read as "pair mass" and incompressible chunks
+    # slip past the screen into a full learn (the dominant encode cost
+    # on high-entropy regimes).
+    scaled_min = max(2, (_MIN_PAIR_COUNT * len(s) + len(stream) - 1) // len(stream))
+    counts = counts[counts >= scaled_min]
+    if len(counts) == 0:
+        return True
     k = min(_MAX_SYMBOLS, len(counts))
     top_sum = int(np.partition(counts, len(counts) - k)[-k:].sum())
     frac = min(top_sum / max(len(s) - 1, 1), 0.5)
     est_out = len(stream) * (1.0 - 0.75 * frac) + 3 * k // 4 + 4
+    # escape overhead: assigning k code values forces the k+1 LEAST
+    # frequent literal byte values (k codes + ESC itself) to escape at
+    # +1 byte each. On skewed text literals this is ~0 (the trick in
+    # _finalize); on flat literal distributions it is the term that
+    # makes FSST a loser — ignoring it let every high-entropy chunk
+    # through to a full learn. Scaled by the stream-shrink factor:
+    # replacement consumes literal occurrences, so pre-replacement
+    # counts overstate what survives to escape (the un-scaled term
+    # false-rejects marginal-but-real text wins — measured knee:
+    # 16-bit-uniform encode 2.1x with +0.18% mixed-corpus bytes).
+    lit_counts = np.bincount(s, minlength=256)
+    esc_lit = int(np.sort(lit_counts)[: min(k + 1, 256)].sum())
+    est_out += esc_lit * (len(stream) / len(s)) * (1.0 - 0.75 * frac)
     return est_out >= budget_bytes
 
 

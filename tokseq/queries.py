@@ -642,6 +642,52 @@ def q_engine_codec_summary(spark, sf_dir):
     return codec_summary(enc)
 
 
+def q_engine_floor_totals(spark, sf_dir):
+    """Engine manifest totals that are codec-INDEPENDENT and therefore
+    cross-engine checkable: per source, the chunk count, token count,
+    input bytes, and the reference bitpack floor (ceil(n*w/8), w =
+    bit_length of the chunk max — /root/reference/src/packed_seq.rs:
+    106-148's buffer size generalized). Chunk boundaries are
+    deterministic (4096-token splits of each doc's array), so DuckDB
+    can recompute every column from the raw text — this puts the
+    north-rule denominator (floor_bytes) itself under the oracle;
+    the codec MIX stays engine-specific (engine_codec_summary,
+    rows-only)."""
+    from .engine.chunk import plan_chunks
+    from .engine.encode import encode_chunks
+
+    docs = tokenize_documents_md5(spark, sf_dir)
+    enc = encode_chunks(plan_chunks(docs, 4096))
+    return enc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("n_values").cast("long").alias("n_values"),
+        F.sum("in_bytes").cast("long").alias("in_bytes"),
+        F.sum("floor_bytes").cast("long").alias("floor_bytes"),
+    )
+
+
+ORACLE_FLOOR_TOTALS = """
+WITH toks AS (
+  SELECT doc_id, source,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT
+           % 50257 AS tok
+  FROM documents
+), chunks AS (
+  SELECT doc_id, source, pos // 4096 AS chunk_idx,
+         COUNT(*) AS n, MAX(tok) AS vmax
+  FROM toks GROUP BY doc_id, source, chunk_idx
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n) AS BIGINT) AS n_values,
+       CAST(SUM(n * 4) AS BIGINT) AS in_bytes,
+       CAST(SUM((n * GREATEST(length(bin(vmax)), 1) + 7) // 8) AS BIGINT)
+         AS floor_bytes
+FROM chunks GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -663,6 +709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_roundtrip": q_engine_roundtrip,
     "engine_roundtrip_agg": q_engine_roundtrip_agg,
     "engine_codec_summary": q_engine_codec_summary,
+    "engine_floor_totals": q_engine_floor_totals,
     "token_membership": q_token_membership,
 }
 
@@ -686,9 +733,12 @@ ORACLES: dict[str, str] = {
     # decoded aggregates are: engine_roundtrip_agg runs the real
     # chunk->encode->decode engine and oracles the result
     "engine_roundtrip_agg": ORACLE_ROUNDTRIP_AGG,
+    # codec-independent manifest totals incl. the north-rule floor
+    "engine_floor_totals": ORACLE_FLOOR_TOTALS,
     # zone-map membership: engine prune+decode vs raw-text oracle
     "token_membership": ORACLE_TOKEN_MEMBERSHIP,
-    # engine_roundtrip / engine_codec_summary: rows-only (binary codecs)
+    # engine_roundtrip / engine_codec_summary: rows-only (binary
+    # codecs; the codec MIX is engine-specific by design)
 }
 
 

@@ -65,6 +65,10 @@ def test_bench_codec_paths():
             np.exp(rng.random(n) * np.log(50257)).astype(np.int64) - 1, 50256
         ),
     }
+    pf = 10**6 + rng.integers(0, 64, n)
+    exc = rng.random(n) < 0.01
+    pf[exc] = 10**6 + rng.integers(0, 1 << 29, int(exc.sum()))
+    regimes["narrow + 1% wide exceptions (PFoR)"] = pf
     offs = np.arange(0, n + 1, 4096, dtype=np.int64)
     if offs[-1] != n:
         offs = np.append(offs, n)

@@ -80,6 +80,14 @@ def pack_bits_le(values: np.ndarray, width: int) -> bytes:
         for j in range(1, g):
             out |= vb[j::g] << np.uint8(j * width)
         return out[:nbytes].tobytes()
+    if n <= 192:
+        # tiny segments: big-int accumulation beats the multi-pass
+        # numpy kernels' fixed per-call setup (mirror of the tiny
+        # unpack path below)
+        big = 0
+        for i, x in enumerate(np.asarray(values, dtype=np.uint64).tolist()):
+            big |= x << (i * width)
+        return big.to_bytes(packed_size(n, width), "little")
     if width < 32:  # all remaining widths < 32 (3,5,6,7, 9..15, 17..31)
         return _pack_double(values, width, n)
     # widths 33..64: word-lane packing. Groups of g = lcm(w,64)/w
@@ -216,6 +224,16 @@ def unpack_bits_le(buf: bytes, width: int, n: int) -> np.ndarray:
         for j in range(g):
             out[j::g] = (raw >> np.uint8(j * width)) & mask
         return out[:n].astype(np.uint64)
+    if n <= 192:
+        # tiny segments (exception lists, small dictionaries, short
+        # runs): a Python big-int shift loop beats the multi-pass numpy
+        # kernels, whose per-call setup costs ~50us regardless of n
+        big = int.from_bytes(raw.tobytes(), "little")
+        mask = (1 << width) - 1
+        return np.fromiter(
+            ((big >> (i * width)) & mask for i in range(n)),
+            dtype=np.uint64, count=n,
+        )
     if width < 32:
         return _unpack_double(buf, width, n)
     return _unpack_words(buf, width, n)

@@ -148,6 +148,17 @@ def decode_batch_kernel(
             )
             done[grp] = True
 
+    # pfor / pfor_ef: the dominant base stream is n fields at wb bits —
+    # already byte-aligned for n % 8 == 0, so it batches with NO format
+    # change; the (rare) exception patches stay per chunk.
+    for name in ("pfor", "pfor_ef"):
+        grp = np.flatnonzero((codec_arr == name) & groupable)
+        if len(grp):
+            _decode_pfor_group(
+                name, grp, payloads, np.asarray(mins), ns, offsets, flat
+            )
+            done[grp] = True
+
     for i in range(n_chunks):
         if done[i]:
             continue
@@ -177,6 +188,63 @@ def _gather_padded_streams(payloads, grp, starts, ends, widths_arr, counts, dest
             k = int(counts[j])
             dest[dest_offs[j] : dest_offs[j] + k] = vals[pos : pos + k]
             pos += int(padded[j])
+
+
+def _decode_pfor_group(name, grp, payloads, mins, ns, offsets, flat):
+    """Batched patched-FoR decode: one unpack per distinct base width
+    for the whole group; exception positions/values are patched per
+    chunk (they are rare by construction — the selector only picks
+    pfor/pfor_ef when exceptions are a small fraction)."""
+    from ..codecs import packed_size
+    from ..codecs.ef import PFOR_EF, ef_decode, ef_upper_bits
+    from ..codecs.simple import PFOR
+
+    is_ef = name == "pfor_ef"
+    hdr = (PFOR_EF if is_ef else PFOR)._HDR  # <u4 n_exc, u1 wb, u1 wp|l, u1 we>
+    hsz = hdr.size
+    hdrs = [hdr.unpack_from(payloads[i], 0) for i in grp]
+    harr = np.array(hdrs, dtype=np.int64)
+    n_exc, wbs = harr[:, 0], harr[:, 1]
+    ns_g = ns[grp]
+    total = int(ns_g.sum())
+    goff = np.concatenate(([0], np.cumsum(ns_g))).astype(np.int64)
+
+    flat_g = np.empty(total, np.int32)
+    base_end = hsz + ns_g * wbs // 8  # byte-aligned: n % 8 == 0
+    _gather_padded_streams(
+        payloads, grp, np.full(len(grp), hsz), base_end, wbs, ns_g, flat_g
+    )
+
+    for j in np.flatnonzero(n_exc):
+        i = grp[j]
+        ne = int(n_exc[j])
+        _, wb, aux, we = hdrs[j]
+        off = int(base_end[j])
+        if is_ef:
+            l = aux
+            ub = packed_size(ef_upper_bits(ne, int(ns[i]), l), 1)
+            lb = packed_size(ne, l)
+            pos = ef_decode(
+                payloads[i][off : off + ub],
+                payloads[i][off + ub : off + ub + lb],
+                ne, int(ns[i]), l,
+            )
+            vals = unpack_bits_le(payloads[i][off + ub + lb :], we, ne)
+        else:
+            wp = aux
+            pb = packed_size(ne, wp)
+            pos = np.cumsum(
+                unpack_bits_le(payloads[i][off : off + pb], wp, ne).astype(np.int64)
+            )
+            vals = unpack_bits_le(payloads[i][off + pb :], we, ne)
+        flat_g[goff[j] + pos] = vals.astype(np.int64)
+
+    for j, i in enumerate(grp):
+        np.add(
+            flat_g[goff[j] : goff[j + 1]],
+            np.int32(mins[i]),
+            out=flat[offsets[i] : offsets[i + 1]],
+        )
 
 
 def _decode_split_group(name, grp, payloads, mins, ns, offsets, flat):

@@ -1070,7 +1070,7 @@ ORACLES.update(
 # LSH-bucketed approximate nearest neighbors — the scale path for
 # embedding similarity: 8 deterministic integer hyperplanes (md5-derived
 # components) bucket the vectors; search only touches same-bucket
-# candidates. At 10^9 vectors the bucket join replaces the全 cross join.
+# candidates. At 10^9 vectors the bucket join replaces the full cross join.
 # ---------------------------------------------------------------------------
 
 # multi-table LSH: 4 tables, bits/table DERIVED from corpus size so the

@@ -140,8 +140,10 @@ def decode_batch_kernel(
     # streams from different chunks concatenate into one continuous
     # bit stream — one unpack per distinct width per stream kind
     # instead of 3 (split) / 5 (split3) unpacks per chunk.
+    # (any n > 0 groups here: the primary mask's per-chunk byte padding
+    # IS 8-field padding at width 1, so byte alignment is not required)
     for name in ("split", "split3"):
-        grp = np.flatnonzero((codec_arr == name) & groupable)
+        grp = np.flatnonzero((codec_arr == name) & (ns > 0))
         if len(grp):
             _decode_split_group(
                 name, grp, payloads, np.asarray(mins), ns, offsets, flat
@@ -275,7 +277,7 @@ def _decode_split_group(name, grp, payloads, mins, ns, offsets, flat):
     def _pad8_arr(k):
         return (k + 7) // 8 * 8
 
-    mask_end = hsz + ns_g // 8  # primary mask: n bits, n % 8 == 0
+    mask_end = hsz + (ns_g + 7) // 8  # primary mask: n bits, byte-padded
     if is3:
         mask2_end = mask_end + (n_rest + 7) // 8
         low_start = mask2_end
@@ -288,9 +290,14 @@ def _decode_split_group(name, grp, payloads, mins, ns, offsets, flat):
     else:
         high_end = low_end + _pad8_arr(n_high) * w2s // 8
 
-    # 1) primary masks -> one 1-bit unpack straight to uint8
-    mask_buf = b"".join(payloads[grp[j]][hsz : mask_end[j]] for j in range(len(grp)))
-    sel_u8 = unpack_bits_u8(mask_buf, total)
+    # 1) primary masks -> one 1-bit unpack straight to uint8 (byte
+    # padding per chunk == 8-field padding at width 1, so the padded
+    # gather handles arbitrary n)
+    sel_u8 = np.empty(total, np.uint8)
+    _gather_padded_streams(
+        payloads, grp, np.full(len(grp), hsz), mask_end,
+        np.ones(len(grp), np.int64), ns_g, sel_u8,
+    )
     sel_g = sel_u8.view(bool)
 
     flat_g = np.empty(total, np.int32)

@@ -126,6 +126,98 @@ def encode_batch_kernel(values: np.ndarray, offsets: np.ndarray, enable_fsst: bo
     return merged
 
 
+def _pack_padded_group(flat_vals, counts, widths):
+    """Pack per-chunk streams (chunk-major ``flat_vals`` with per-chunk
+    ``counts`` and ``widths``) into 8-field-padded sections — ONE
+    pack_bits_le call per distinct width for the whole group,
+    byte-identical to codecs.simple._pack_padded per chunk."""
+    from ..codecs.bitpack import pack_bits_le
+
+    counts = np.asarray(counts, dtype=np.int64)
+    widths = np.asarray(widths, dtype=np.int64)
+    sections: list[bytes] = [b""] * len(counts)
+    soff = np.concatenate(([0], np.cumsum(counts)))
+    padded = (counts + 7) // 8 * 8
+    for w in np.unique(widths):
+        selc = np.flatnonzero(widths == w)
+        cnt = counts[selc]
+        pad = padded[selc]
+        nsel = int(cnt.sum())
+        buf = np.zeros(int(pad.sum()), dtype=np.uint8 if w == 1 else np.int64)
+        if nsel:
+            poff = np.concatenate(([0], np.cumsum(pad)))[:-1]
+            within = np.arange(nsel, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(cnt)))[:-1], cnt
+            )
+            buf[np.repeat(poff, cnt) + within] = flat_vals[
+                np.repeat(soff[selc], cnt) + within
+            ]
+        packed = pack_bits_le(buf, int(w))
+        boff = np.concatenate(([0], np.cumsum(pad * int(w) // 8)))
+        for j, ci in enumerate(selc):
+            sections[ci] = packed[boff[j] : boff[j + 1]]
+    return sections
+
+
+def _encode_split_group(
+    values, offsets, grp, st, sel, is3, payloads, out_width, out_min
+):
+    """Grouped split/split3 encode: one threshold pass over the group's
+    deltas, one 1-bit pack for all primary masks (n % 8 == 0 chunks
+    concatenate exactly), and one pack per distinct width per stream.
+    Produces payloads byte-identical to the per-chunk codec encode."""
+    from ..codecs.bitpack import bit_length as _bl
+    from ..codecs.simple import SPLIT, SPLIT3
+
+    ns_g = st.n[grp].astype(np.int64)
+    vmin = st.vmin[grp].astype(np.int64)
+    total = int(ns_g.sum())
+    goff = np.concatenate(([0], np.cumsum(ns_g)))
+    within = np.arange(total, dtype=np.int64) - np.repeat(goff[:-1], ns_g)
+    src = np.repeat(np.asarray(offsets)[:-1][grp], ns_g) + within
+    d = values[src].astype(np.int64) - np.repeat(vmin, ns_g)
+    w2 = np.maximum(_bl((st.vmax[grp] - vmin)), 1).astype(np.int64)
+    w1 = (sel.split3_w1 if is3 else sel.split_width)[grp].astype(np.int64)
+
+    rest = d > np.repeat((np.int64(1) << w1) - 1, ns_g)
+    cs = np.concatenate(([0], np.cumsum(rest)))
+    n_rest = cs[goff[1:]] - cs[goff[:-1]]
+    n_low = ns_g - n_rest
+    # primary masks: 1-bit streams, per-chunk byte padding == 8-field
+    # padding at width 1, so they batch through the same path
+    ones = np.ones(len(grp), np.int64)
+    mask_s = _pack_padded_group(rest, ns_g, ones)
+
+    if is3:
+        wm = sel.split3_wm[grp].astype(np.int64)
+        high = d > np.repeat((np.int64(1) << wm) - 1, ns_g)
+        csh = np.concatenate(([0], np.cumsum(high)))
+        n_high = csh[goff[1:]] - csh[goff[:-1]]
+        n_mid = n_rest - n_high
+        mask2 = _pack_padded_group(high[rest], n_rest, ones)
+        low_s = _pack_padded_group(d[~rest], n_low, w1)
+        mid_s = _pack_padded_group(d[rest & ~high], n_mid, wm)
+        high_s = _pack_padded_group(d[high], n_high, w2)
+        hdr = SPLIT3._HDR
+        for j, i in enumerate(grp):
+            payloads[i] = (
+                hdr.pack(int(w1[j]), int(wm[j]), int(w2[j]),
+                         int(n_mid[j]), int(n_high[j]))
+                + mask_s[j] + mask2[j] + low_s[j] + mid_s[j] + high_s[j]
+            )
+    else:
+        low_s = _pack_padded_group(d[~rest], n_low, w1)
+        high_s = _pack_padded_group(d[rest], n_rest, w2)
+        hdr = SPLIT._HDR
+        for j, i in enumerate(grp):
+            payloads[i] = (
+                hdr.pack(int(w1[j]), int(w2[j]), int(n_rest[j]))
+                + mask_s[j] + low_s[j] + high_s[j]
+            )
+    out_width[grp] = w2
+    out_min[grp] = vmin
+
+
 def _encode_subbatch(
     values: np.ndarray, offsets: np.ndarray, enable_fsst: bool = True
 ):
@@ -221,6 +313,25 @@ def _encode_subbatch(
             if use_min:
                 out_min[idx] = st.vmin[idx]
             done[idx] = True
+
+    # --- grouped split/split3 encode: the two selector-bitmap codecs
+    # pack 3 / 5 streams per chunk; with the 8-field stream padding
+    # (codecs/simple.py) all per-chunk streams of one width
+    # concatenate, so the whole group costs one threshold pass, one
+    # mask pack, and one value pack per distinct width — instead of
+    # 3-5 pack calls per 4096-token chunk. Estimates for these codecs
+    # are exact, so no floor-fallback check is needed (same argument
+    # as the bitpack/for group above).
+    # (any n > 0 groups here: the primary mask is itself packed via the
+    # padded-group path, so byte alignment is not required)
+    split_ok = (st.n > 0) & ~sel.fsst_candidate
+    for cname, is3 in (("split", False), ("split3", True)):
+        grp = np.flatnonzero((name_arr == cname) & split_ok & ~done)
+        if len(grp):
+            _encode_split_group(
+                values, offsets, grp, st, sel, is3, payloads, out_width, out_min
+            )
+            done[grp] = True
 
     for i in range(nseg):
         if done[i]:

@@ -243,3 +243,41 @@ def test_speed_margin_prefers_faster_codec_on_near_tie():
         assert SPEED_MULT[picked_c] < SPEED_MULT[raw_c]
         # and the raw winner's saving was inside the margin
         assert sizes[raw_c, i] * SPEED_MULT[raw_c] >= sizes[picked_c, i]
+
+
+def test_card_screen_selection_parity_fuzz():
+    """The approx-mode cardinality screens (duplication sample + the
+    weighted dict-lower-bound screen) must keep SELECTION identical to
+    exact mode on every regime — the screen may only skip work, never
+    flip the weighted argmin."""
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        chunks = []
+        for t in range(40):
+            k = int(rng.integers(128, 5000))
+            kind = t % 6
+            if kind == 0:
+                v = np.repeat(rng.integers(0, 256, k // 24 + 1), 24)[:k]
+            elif kind == 1:
+                v = rng.integers(0, 1000, 24)[rng.integers(0, 24, k)]
+            elif kind == 2:
+                v = rng.integers(0, 1 << 16, k)
+            elif kind == 3:
+                v = 10**6 + rng.integers(0, 500, k)
+            elif kind == 4:
+                v = np.minimum(
+                    np.exp(rng.random(k) * np.log(50257)).astype(np.int64) - 1,
+                    50256,
+                )
+            else:
+                v = rng.integers(0, 64, k)
+                m = rng.random(k) < 0.3
+                v[m] = rng.integers(0, 1 << 20, int(m.sum()))
+            chunks.append(np.asarray(v, np.int64))
+        vals = np.concatenate(chunks).astype(np.int32)
+        o = np.concatenate(([0], np.cumsum([len(c) for c in chunks]))).astype(
+            np.int64
+        )
+        se = select(compute_chunk_stats(vals, o, approx=False))
+        sa = select(compute_chunk_stats(vals, o, approx=True))
+        assert np.array_equal(se.codec_idx, sa.codec_idx), trial

@@ -95,8 +95,11 @@ def compute_chunk_stats(
         change[0] = True
         np.not_equal(values[1:], values[:-1], out=change[1:])
         change[starts[~empty]] = True
-    cs = np.concatenate(([0], np.cumsum(change, dtype=np.int64)))
-    n_runs = cs[offsets[1:]] - cs[starts]
+    # int32 prefix sum: the engine sub-batches to ~256k values, far
+    # under 2^31, and the narrower accumulator halves this pass's
+    # memory traffic (stats is bandwidth-bound)
+    cs = np.concatenate(([0], np.cumsum(change, dtype=np.int32)))
+    n_runs = (cs[offsets[1:]] - cs[starts]).astype(np.int64)
 
     run_detail = ~empty
     if approx:
@@ -143,6 +146,48 @@ def compute_chunk_stats(
                 hi_card = np.zeros(nseg, dtype=bool)
                 hi_card[big[k * 10 > S * 9]] = True
                 card_detail &= ~hi_card
+                # second screen: dict is the ONLY consumer of exact
+                # cardinality, and the sampled distinct count k is a
+                # LOWER bound on card — so dict's size has the lower
+                # bound DICT_HDR + pad8(k)*w_for/8 + ceil(n*blen(k-1)/8)
+                # bytes. If bitpack/for/rle (whose estimates use no
+                # card and are identical in exact mode; rle's uses the
+                # same pessimistic max_run bound both modes) already
+                # beat that bound STRICTLY under the decode-speed
+                # multipliers, dict can never win the weighted argmin,
+                # so card := n is selection-identical and the
+                # composite sort is skipped (it dominates stats on
+                # run-heavy chunks).
+                from .selector import DICT_HDR, RLE_HDR, SPEED_MULT
+
+                nb, kb = n[big], k.astype(np.int64)
+                wfor_b = np.maximum(
+                    bit_length(vmax[big] - vmin[big]), 1
+                ).astype(np.int64)
+                wfull_b = np.maximum(bit_length(vmax[big]), 1).astype(np.int64)
+                wcard_lb = bit_length(np.maximum(kb - 1, 0))
+                dict_lb = (
+                    DICT_HDR + ((kb + 7) // 8) * wfor_b + (nb * wcard_lb + 7) // 8
+                )
+                runs_b = n_runs[big]
+                maxrun_ub = np.maximum(nb - runs_b + 1, 1)
+                wrl_ub = np.maximum(bit_length(maxrun_ub - 1), 1)
+                rle_ub = (
+                    RLE_HDR
+                    + (runs_b * wfor_b + 7) // 8
+                    + (runs_b * wrl_ub + 7) // 8
+                )
+                best_other = np.minimum(
+                    np.minimum(
+                        (nb * wfull_b + 7) // 8 * SPEED_MULT[0],
+                        (nb * wfor_b + 7) // 8 * SPEED_MULT[1],
+                    ),
+                    rle_ub * SPEED_MULT[2],
+                )
+                dict_hopeless = best_other < dict_lb * SPEED_MULT[3]
+                skip2 = np.zeros(nseg, dtype=bool)
+                skip2[big[dict_hopeless]] = True
+                card_detail &= ~skip2
         if card_detail.any():
             if card_detail.all():
                 sub_deltas, sub_seg = deltas, seg_of.astype(np.int64)

@@ -278,6 +278,52 @@ class SharedFsstTable:
                 stream = ns
         return _finalize(stream, self.id_exp, self.bw, w, lo)
 
+    def encode_streams_batch(
+        self, streams: list[np.ndarray], ws: list[int], los: list[int]
+    ) -> list[Encoded]:
+        """Replace-only encode of MANY chunks in one pass per round:
+        streams concatenate, pairs that would span a chunk boundary
+        are forbidden (so each chunk's greedy replacement is identical
+        to its standalone encode_stream result, byte for byte), and
+        the pair-id searchsorted is paid once per round instead of
+        once per chunk. Per-chunk finalize keeps payloads
+        self-contained."""
+        lens = np.array([len(s) for s in streams], dtype=np.int64)
+        stream = np.concatenate(streams) if streams else np.zeros(0, np.int32)
+        for alpha, base_global, top_sorted, rank in self.rounds:
+            m = len(stream)
+            if m < 2 or len(top_sorted) == 0:
+                continue
+            pair_ids = stream[:-1].astype(np.int32) * np.int32(alpha) + stream[1:]
+            idx = np.searchsorted(top_sorted, pair_ids).clip(
+                max=len(top_sorted) - 1
+            )
+            cand = top_sorted[idx] == pair_ids
+            ends = np.cumsum(lens)
+            if len(ends) > 1:
+                cand[ends[:-1] - 1] = False  # no pairs across chunks
+            sel = _greedy_select(cand)
+            if not sel.any():
+                continue
+            out = stream.astype(np.int32, copy=True)
+            out[:-1][sel] = np.int32(base_global) + rank[idx[sel]]
+            keep = np.ones(m, dtype=bool)
+            keep[1:][sel] = False
+            stream = out[keep]
+            # each removal deletes position p+1, same chunk as p
+            sel_pos = np.flatnonzero(sel)
+            removed = np.bincount(
+                np.searchsorted(ends, sel_pos, side="right"),
+                minlength=len(lens),
+            )
+            lens = lens - removed
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        return [
+            _finalize(stream[offs[j] : offs[j + 1]], self.id_exp, self.bw,
+                      ws[j], los[j])
+            for j in range(len(streams))
+        ]
+
 
 class FsstCodec(Codec):
     """payload layout:

@@ -268,6 +268,7 @@ def _encode_subbatch(
     out_min = np.zeros(nseg, dtype=np.int64)
     fsst = get_codec("fsst")
     bitpack = get_codec("bitpack")
+    fsst_deferred: dict[int, list[tuple[int, int]]] = {}
 
     # --- grouped fast path: bitpack/for chunks with n % 8 == 0 are
     # byte-aligned (n*w ≡ 0 mod 8), so all same-width chunks pack as
@@ -361,15 +362,43 @@ def _encode_subbatch(
             bw = _byte_width(int(st.vmax[i] - st.vmin[i]))
             table = shared_tables.get(bw)
             if table is not None and int(st.n[i]) * bw >= _SHARED_MIN_STREAM:
-                fenc = fsst.encode_with_table(v, table, budget_bytes=len(enc.payload))
+                # defer to the batched shared-table pass below
+                fsst_deferred.setdefault(bw, []).append((i, len(enc.payload)))
             else:
                 fenc = fsst.encode(v, budget_bytes=len(enc.payload))
-            if fenc is not None and len(fenc.payload) < len(enc.payload):
-                name, enc = "fsst", fenc
+                if fenc is not None and len(fenc.payload) < len(enc.payload):
+                    name, enc = "fsst", fenc
         payloads[i] = enc.payload
         out_codec[i] = name
         out_width[i] = enc.bit_width
         out_min[i] = enc.min_val
+
+    # batched shared-table FSST try-encode: all deferred candidates of
+    # one byte width replace in ONE pass per round (chunk-boundary
+    # pairs forbidden -> byte-identical to per-chunk encode_with_table)
+    from ..codecs.fsst import _prepare as _fsst_prepare
+    from ..codecs.fsst import _screen_reject as _fsst_screen
+
+    for bw, items in fsst_deferred.items():
+        table = shared_tables[bw]
+        streams, metas = [], []
+        for i, budget in items:
+            lo, w, bw2, stream = _fsst_prepare(values[offsets[i] : offsets[i + 1]])
+            if bw2 != bw or _fsst_screen(stream, budget):
+                continue
+            streams.append(stream)
+            metas.append((i, budget, lo, w))
+        if not streams:
+            continue
+        encs = table.encode_streams_batch(
+            streams, [m[3] for m in metas], [m[2] for m in metas]
+        )
+        for (i, budget, lo, w), fenc in zip(metas, encs):
+            if fenc is not None and len(fenc.payload) < budget:
+                payloads[i] = fenc.payload
+                out_codec[i] = "fsst"
+                out_width[i] = fenc.bit_width
+                out_min[i] = fenc.min_val
 
     return {
         "codec": out_codec,

@@ -35,7 +35,13 @@ def bit_length(values: np.ndarray) -> np.ndarray:
     v = np.asarray(values)
     if v.size == 0:
         return np.zeros(0, dtype=np.int64)
-    if v.size and int(v.max()) < (1 << 53):
+    mx = int(v.max()) if v.size else 0
+    if mx < (1 << 24):
+        # float32 mantissa holds ints < 2^24 exactly — half the
+        # conversion traffic of the float64 tier (this is the hot tier:
+        # token deltas are vocab-sized)
+        return np.frexp(v.astype(np.float32))[1]  # int32, exact
+    if mx < (1 << 53):
         return np.frexp(v.astype(np.float64))[1]  # int32, exact
     vv = v.astype(np.uint64, copy=False)
     return np.searchsorted(_POW2, vv, side="right").astype(np.int64)

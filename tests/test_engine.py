@@ -135,3 +135,37 @@ def test_resume_duplicated_chunk_does_not_mask_missing(spark):
         docs.withColumn("bucket", F.lit(0)), manifest, chunk_width=10, n_buckets=1
     )
     assert {r.doc_id for r in pend.select("doc_id").collect()} == {"b"}
+
+
+def test_stitched_reassembly_equals_reference(spark, corpus_df, tmp_path):
+    """reassemble_docs_stitched (sorted-partition Arrow stitcher, the
+    EncodeJob.decode hot path) must equal the groupBy/array_sort
+    reference implementation — including docs whose chunk rows
+    straddle Arrow batches (forced via a tiny batch size)."""
+    import numpy as np
+
+    from tokseq.engine.chunk import plan_chunks
+    from tokseq.engine.decode import (
+        decode_chunks,
+        decode_docs,
+        reassemble_docs,
+        reassemble_docs_stitched,
+    )
+    from tokseq.engine.encode import encode_chunks
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        enc = encode_chunks(plan_chunks(corpus_df, 64), chunk_width=64)
+        dec = decode_chunks(enc)
+        ref = {r["doc_id"]: r["tokens"] for r in reassemble_docs(dec).collect()}
+        got = {r["doc_id"]: r["tokens"] for r in reassemble_docs_stitched(dec).collect()}
+        # the fused one-shuffle-of-compressed-bytes path (EncodeJob.decode)
+        got2 = {r["doc_id"]: r["tokens"] for r in decode_docs(enc).collect()}
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert set(ref) == set(got) == set(got2)
+    for k in ref:
+        assert np.array_equal(np.asarray(ref[k]), np.asarray(got[k])), k
+        assert np.array_equal(np.asarray(ref[k]), np.asarray(got2[k])), k

@@ -393,7 +393,10 @@ def reassemble_docs(decoded_df: DataFrame) -> DataFrame:
     """(doc_id, chunk_idx, chunk_tokens) -> (doc_id, tokens).
 
     array_sort over structs orders by chunk_idx (first struct field),
-    so reassembly is shuffle-order-independent.
+    so reassembly is shuffle-order-independent. This is the reference
+    implementation; the engine's hot path uses
+    :func:`reassemble_docs_stitched` (same result, same single
+    shuffle, no per-doc JVM array materialization).
 
     NOTE (scale): reassembly materializes one row per document, so a
     10^8-token doc becomes a ~400MB row on one executor. That is the
@@ -408,3 +411,189 @@ def reassemble_docs(decoded_df: DataFrame) -> DataFrame:
             )
         ).alias("tokens")
     )
+
+
+def _stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Within one partition holding ALL chunks of its docs, sorted by
+    (doc_id, chunk_idx): concatenate each doc's chunk arrays. Python
+    work is O(docs) per batch; token movement is one flat copy. A doc's
+    rows may straddle Arrow batches, so the trailing partial doc is
+    carried into the next batch."""
+    carry_id = None
+    carry_parts: list[np.ndarray] = []
+
+    def emit(doc_ids, token_arrays):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(doc_ids, pa.string()),
+                pa.ListArray.from_arrays(
+                    pa.array(
+                        np.concatenate(
+                            ([0], np.cumsum([len(t) for t in token_arrays]))
+                        ),
+                        pa.int32(),
+                    ),
+                    pa.array(
+                        np.concatenate(token_arrays)
+                        if token_arrays
+                        else np.zeros(0, np.int32),
+                        pa.int32(),
+                    ),
+                ),
+            ],
+            names=["doc_id", "tokens"],
+        )
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        ids = b.column("doc_id").to_pylist()
+        vals, offs = list_column_to_numpy_i32(b.column("chunk_tokens"))
+        # doc boundaries within the sorted batch
+        out_ids, out_toks = [], []
+        row = 0
+        n_rows = len(ids)
+        while row < n_rows:
+            j = row
+            while j + 1 < n_rows and ids[j + 1] == ids[row]:
+                j += 1
+            part = vals[offs[row] : offs[j + 1]]
+            if carry_id is not None and ids[row] == carry_id:
+                carry_parts.append(part)
+            else:
+                if carry_id is not None:
+                    out_ids.append(carry_id)
+                    out_toks.append(
+                        np.concatenate(carry_parts)
+                        if len(carry_parts) > 1
+                        else carry_parts[0]
+                    )
+                carry_id = ids[row]
+                carry_parts = [part]
+            row = j + 1
+        if out_ids:
+            yield emit(out_ids, out_toks)
+    if carry_id is not None:
+        yield emit(
+            [carry_id],
+            [np.concatenate(carry_parts) if len(carry_parts) > 1 else carry_parts[0]],
+        )
+
+
+def list_column_to_numpy_i32(arr) -> tuple[np.ndarray, np.ndarray]:
+    """list<int32> -> (flat int32 values, int64 offsets), null-safe."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    values = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    lens = (
+        arr.value_lengths().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    return values, np.concatenate(([0], np.cumsum(lens)))
+
+
+def reassemble_docs_stitched(decoded_df: DataFrame) -> DataFrame:
+    """Same result as :func:`reassemble_docs` with the same SINGLE
+    shuffle, but the per-doc assembly happens in an Arrow stitcher over
+    partitions sorted by (doc_id, chunk_idx) — no collect_list object
+    churn, no array_sort; the JVM only hash-partitions rows. The giant
+    -doc caveat from reassemble_docs applies unchanged.
+
+    NOTE: prefer :func:`decode_docs` when starting from the ENCODED
+    table — it shuffles compressed payloads (~0.95 B/token) instead of
+    decoded int32 arrays and decodes inside the stitcher, one Arrow
+    hop instead of three."""
+    rep = decoded_df.repartition("doc_id").sortWithinPartitions(
+        "doc_id", "chunk_idx"
+    )
+    return rep.select("doc_id", "chunk_idx", "chunk_tokens").mapInArrow(
+        _stitch_map, "doc_id string, tokens array<int>"
+    )
+
+
+def _decode_stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Decode + stitch in one pass over partitions sorted by
+    (doc_id, chunk_idx): the batched decode kernel expands payloads,
+    then doc boundaries concatenate — the shuffle upstream carried
+    only compressed bytes."""
+    carry_id = None
+    carry_parts: list[np.ndarray] = []
+
+    def emit(doc_ids, token_arrays):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(doc_ids, pa.string()),
+                pa.ListArray.from_arrays(
+                    pa.array(
+                        np.concatenate(
+                            ([0], np.cumsum([len(t) for t in token_arrays]))
+                        ),
+                        pa.int32(),
+                    ),
+                    pa.array(
+                        np.concatenate(token_arrays)
+                        if token_arrays
+                        else np.zeros(0, np.int32),
+                        pa.int32(),
+                    ),
+                ),
+            ],
+            names=["doc_id", "tokens"],
+        )
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        ids = b.column("doc_id").to_pylist()
+        vals, offs = decode_batch_kernel(
+            b.column("payload").to_pylist(),
+            b.column("codec").to_pylist(),
+            b.column("bit_width").to_numpy(zero_copy_only=False),
+            b.column("min_val").to_numpy(zero_copy_only=False),
+            b.column("n_values").to_numpy(zero_copy_only=False),
+        )
+        out_ids, out_toks = [], []
+        row, n_rows = 0, len(ids)
+        while row < n_rows:
+            j = row
+            while j + 1 < n_rows and ids[j + 1] == ids[row]:
+                j += 1
+            part = vals[offs[row] : offs[j + 1]]
+            if carry_id is not None and ids[row] == carry_id:
+                carry_parts.append(part)
+            else:
+                if carry_id is not None:
+                    out_ids.append(carry_id)
+                    out_toks.append(
+                        np.concatenate(carry_parts)
+                        if len(carry_parts) > 1
+                        else carry_parts[0]
+                    )
+                carry_id = ids[row]
+                carry_parts = [part]
+            row = j + 1
+        if out_ids:
+            yield emit(out_ids, out_toks)
+    if carry_id is not None:
+        yield emit(
+            [carry_id],
+            [np.concatenate(carry_parts) if len(carry_parts) > 1 else carry_parts[0]],
+        )
+
+
+def decode_docs(encoded_df: DataFrame) -> DataFrame:
+    """Encoded table -> (doc_id, tokens) in ONE shuffle of COMPRESSED
+    bytes: repartition the encoded chunks by doc_id (payloads are
+    ~0.95 B/token vs 4 B/token decoded — the shuffle ships 4x less),
+    sort within partitions by (doc_id, chunk_idx), then decode and
+    stitch in a single Arrow pass. Equals
+    ``reassemble_docs(decode_chunks(df))`` row for row; same giant-doc
+    caveat. Callers must dedup at-least-once chunks first (as
+    EncodeJob.decode does)."""
+    cols = ["doc_id", "chunk_idx", "codec", "bit_width", "n_values",
+            "min_val", "payload"]
+    rep = (
+        encoded_df.select(*cols)
+        .repartition("doc_id")
+        .sortWithinPartitions("doc_id", "chunk_idx")
+    )
+    return rep.mapInArrow(_decode_stitch_map, "doc_id string, tokens array<int>")

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .chunk import DEFAULT_CHUNK_WIDTH, plan_chunks, repartition_chunks
-from .decode import decode_chunks, reassemble_docs
+from .decode import decode_chunks, decode_docs
 from .encode import encode_chunks
 from .manifest import (
     CHUNK_MANIFEST_COLS,
@@ -205,7 +205,7 @@ class EncodeJob:
         # deterministic and payloads idempotent, so readers dedup on the
         # key (SURVEY §7.2 "exactly-once per chunk").
         enc = self.encoded().dropDuplicates(["doc_id", "chunk_idx"])
-        return reassemble_docs(decode_chunks(enc))
+        return decode_docs(enc)
 
     def verify_roundtrip(self, docs: DataFrame) -> int:
         return count_mismatches(docs.select("doc_id", "tokens"), self.decode())

@@ -169,3 +169,39 @@ def test_stitched_reassembly_equals_reference(spark, corpus_df, tmp_path):
     for k in ref:
         assert np.array_equal(np.asarray(ref[k]), np.asarray(got[k])), k
         assert np.array_equal(np.asarray(ref[k]), np.asarray(got2[k])), k
+
+
+def test_decode_docs_inline_dedup(spark, corpus_df):
+    """At-least-once appends: decode_docs must dedup duplicated
+    (doc_id, chunk_idx) rows inline — including duplicates adjacent to
+    Arrow batch boundaries — matching the explicit dropDuplicates
+    reference path."""
+    import numpy as np
+
+    from tokseq.engine.chunk import plan_chunks
+    from tokseq.engine.decode import decode_chunks, decode_docs, reassemble_docs
+    from tokseq.engine.encode import encode_chunks
+
+    enc = encode_chunks(plan_chunks(corpus_df, 64), chunk_width=64).cache()
+    # duplicate a third of the chunks (simulates replayed appends)
+    from pyspark.sql import functions as F
+
+    dup = enc.filter(F.pmod(F.xxhash64("doc_id", "chunk_idx"), F.lit(3)) == 0)
+    enc_dup = enc.unionAll(dup)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        got = {r["doc_id"]: r["tokens"] for r in decode_docs(enc_dup).collect()}
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    ref = {
+        r["doc_id"]: r["tokens"]
+        for r in reassemble_docs(
+            decode_chunks(enc.dropDuplicates(["doc_id", "chunk_idx"]))
+        ).collect()
+    }
+    enc.unpersist()
+    assert set(ref) == set(got)
+    for k in ref:
+        assert np.array_equal(np.asarray(ref[k]), np.asarray(got[k])), k

@@ -514,8 +514,14 @@ def _decode_stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
     """Decode + stitch in one pass over partitions sorted by
     (doc_id, chunk_idx): the batched decode kernel expands payloads,
     then doc boundaries concatenate — the shuffle upstream carried
-    only compressed bytes."""
+    only compressed bytes.
+
+    At-least-once duplicate chunks (resume appends) are ADJACENT after
+    the sort, so dedup happens inline — no dropDuplicates aggregate,
+    no second exchange. Duplicate payloads are byte-identical by chunk
+    determinism, so keeping the first is exact."""
     carry_id = None
+    carry_last_cidx = -1
     carry_parts: list[np.ndarray] = []
 
     def emit(doc_ids, token_arrays):
@@ -544,6 +550,7 @@ def _decode_stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
         if b.num_rows == 0:
             continue
         ids = b.column("doc_id").to_pylist()
+        cidx = b.column("chunk_idx").to_numpy(zero_copy_only=False)
         vals, offs = decode_batch_kernel(
             b.column("payload").to_pylist(),
             b.column("codec").to_pylist(),
@@ -557,9 +564,23 @@ def _decode_stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
             j = row
             while j + 1 < n_rows and ids[j + 1] == ids[row]:
                 j += 1
-            part = vals[offs[row] : offs[j + 1]]
-            if carry_id is not None and ids[row] == carry_id:
-                carry_parts.append(part)
+            continuing = carry_id is not None and ids[row] == carry_id
+            run = np.arange(row, j + 1)
+            keep = np.empty(len(run), dtype=bool)
+            keep[0] = not (continuing and int(cidx[row]) == carry_last_cidx)
+            keep[1:] = cidx[row + 1 : j + 1] != cidx[row:j]
+            if keep.all():
+                part = vals[offs[row] : offs[j + 1]]
+            else:  # rare: duplicate chunks from at-least-once appends
+                kept = run[keep]
+                part = (
+                    np.concatenate([vals[offs[k] : offs[k + 1]] for k in kept])
+                    if len(kept)
+                    else vals[0:0]
+                )
+            if continuing:
+                if len(part):
+                    carry_parts.append(part)
             else:
                 if carry_id is not None:
                     out_ids.append(carry_id)
@@ -570,6 +591,7 @@ def _decode_stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
                     )
                 carry_id = ids[row]
                 carry_parts = [part]
+            carry_last_cidx = int(cidx[j])
             row = j + 1
         if out_ids:
             yield emit(out_ids, out_toks)
@@ -585,10 +607,11 @@ def decode_docs(encoded_df: DataFrame) -> DataFrame:
     bytes: repartition the encoded chunks by doc_id (payloads are
     ~0.95 B/token vs 4 B/token decoded — the shuffle ships 4x less),
     sort within partitions by (doc_id, chunk_idx), then decode and
-    stitch in a single Arrow pass. Equals
-    ``reassemble_docs(decode_chunks(df))`` row for row; same giant-doc
-    caveat. Callers must dedup at-least-once chunks first (as
-    EncodeJob.decode does)."""
+    stitch in a single Arrow pass. At-least-once duplicate chunks are
+    deduped INLINE (adjacent after the sort), so no dropDuplicates
+    aggregate or extra exchange is needed. Equals
+    ``reassemble_docs(decode_chunks(df.dropDuplicates([doc_id,
+    chunk_idx])))`` row for row; same giant-doc caveat."""
     cols = ["doc_id", "chunk_idx", "codec", "bit_width", "n_values",
             "min_val", "payload"]
     rep = (

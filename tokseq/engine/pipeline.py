@@ -202,10 +202,10 @@ class EncodeJob:
     def decode(self) -> DataFrame:
         # resume appends are at-least-once: a chunk interrupted between
         # data write and manifest write may exist twice. Chunk ids are
-        # deterministic and payloads idempotent, so readers dedup on the
-        # key (SURVEY §7.2 "exactly-once per chunk").
-        enc = self.encoded().dropDuplicates(["doc_id", "chunk_idx"])
-        return decode_docs(enc)
+        # deterministic and payloads idempotent; decode_docs dedups
+        # INLINE after its (doc_id, chunk_idx) sort — one exchange of
+        # compressed bytes total (SURVEY §7.2 "exactly-once per chunk").
+        return decode_docs(self.encoded())
 
     def verify_roundtrip(self, docs: DataFrame) -> int:
         return count_mismatches(docs.select("doc_id", "tokens"), self.decode())

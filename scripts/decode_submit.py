@@ -33,14 +33,16 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from tokseq.engine import get_spark
-    from tokseq.engine.decode import decode_chunks, reassemble_docs
+    from tokseq.engine.decode import decode_chunks, decode_docs
 
     spark = get_spark(cores=args.cores, app_name="tokseq-decode")
-    enc = spark.read.parquet(f"{args.input}/encoded").dropDuplicates(
-        ["doc_id", "chunk_idx"]
-    )
-    decoded = decode_chunks(enc)
-    out = decoded if args.chunks else reassemble_docs(decoded)
+    enc = spark.read.parquet(f"{args.input}/encoded")
+    if args.chunks:
+        # chunk-granular output: dedup at-least-once appends explicitly
+        out = decode_chunks(enc.dropDuplicates(["doc_id", "chunk_idx"]))
+    else:
+        # one exchange of compressed bytes; dedups inline after the sort
+        out = decode_docs(enc)
     out.write.mode("overwrite").parquet(args.output)
 
     back = spark.read.parquet(args.output)

@@ -49,16 +49,23 @@ def ensure_worktree(rev: str) -> Path:
 
 
 def run_arm(bench_dir: Path, cores: int, corpus: str) -> dict:
-    out = tempfile.mktemp(suffix=".json")
-    cmd = [
-        sys.executable, str(bench_dir / "bench.py"), "--child",
-        "--cores", str(cores), "--corpus", corpus,
-        "--out-json", out, "--write",
-    ]
-    subprocess.run(cmd, check=True, cwd=bench_dir,
-                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    with open(out) as f:
-        return json.load(f)
+    fd, out = tempfile.mkstemp(suffix=".json")
+    os.close(fd)
+    try:
+        cmd = [
+            sys.executable, str(bench_dir / "bench.py"), "--child",
+            "--cores", str(cores), "--corpus", corpus,
+            "--out-json", out, "--write",
+        ]
+        subprocess.run(cmd, check=True, cwd=bench_dir,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        with open(out) as f:
+            return json.load(f)
+    finally:
+        try:
+            os.unlink(out)
+        except OSError:
+            pass
 
 
 def main() -> None:
@@ -78,11 +85,17 @@ def main() -> None:
             ["git", "log", "--format=%H %s"], cwd=REPO,
             capture_output=True, text=True, check=True,
         ).stdout
-        rev = next(
-            line.split()[0]
-            for line in rev.splitlines()
-            if "round 2:" in line
-        )
+        try:
+            rev = next(
+                line.split()[0]
+                for line in rev.splitlines()
+                if "round 2:" in line
+            )
+        except StopIteration:
+            sys.exit(
+                "ab_bench: no 'round 2:' commit found in history; "
+                "pass an explicit baseline with --rev <commit>"
+            )
 
     import bench  # HEAD's bench module, for corpus generation only
 

@@ -205,3 +205,31 @@ def test_decode_docs_inline_dedup(spark, corpus_df):
     assert set(ref) == set(got)
     for k in ref:
         assert np.array_equal(np.asarray(ref[k]), np.asarray(got[k])), k
+
+
+def test_format_marker_guards_store(spark, corpus_df, tmp_path):
+    """ADVICE r3 (medium): payload format breaks must be LOUD. A fresh
+    run stamps the store with the codec format version; resuming onto
+    or reading a store without the stamp (= written by a pre-v2 build)
+    or with a different version raises instead of decoding garbage."""
+    import json
+    import os
+
+    out = str(tmp_path / "out")
+    job = EncodeJob(spark, out, chunk_width=CHUNK_W, n_buckets=16)
+    job.run(corpus_df)
+    marker = os.path.join(out, "_tokseq_format.json")
+    assert json.load(open(marker))["format_version"] == 2
+    job.decode().count()  # matching version: reads fine
+
+    # store with a FUTURE/other version -> clear error on read + resume
+    json.dump({"format_version": 1}, open(marker, "w"))
+    with pytest.raises(RuntimeError, match="format v1"):
+        job.encoded()
+    with pytest.raises(RuntimeError, match="format v1"):
+        job.run(corpus_df, resume=True)
+
+    # pre-marker store (no file at all) -> clear error naming the cause
+    os.unlink(marker)
+    with pytest.raises(RuntimeError, match="pre-v2"):
+        job.decode()

@@ -4,6 +4,15 @@ Importing this package registers all codecs:
 bitpack, for, rle, dict, pfor, split, split3, pfor_ef, fsst.
 """
 
+# On-disk payload format version. v2 (round 3): dict/split/split3 pad
+# every value/dictionary stream to an 8-FIELD multiple so same-width
+# streams concatenate across chunks for batched decode. v1 stores are
+# NOT readable by the v2 decoders (stream offsets shift) — EncodeJob
+# stamps this version into a store-level marker and refuses to
+# resume-append onto or decode a store with a different/missing stamp
+# (engine/pipeline.py), so the break is loud instead of silently wrong.
+FORMAT_VERSION = 2
+
 from .base import Codec, Encoded, all_codecs, get_codec  # noqa: F401
 from .bitpack import (  # noqa: F401
     bit_length,

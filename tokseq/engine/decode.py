@@ -402,7 +402,9 @@ def reassemble_docs(decoded_df: DataFrame) -> DataFrame:
     10^8-token doc becomes a ~400MB row on one executor. That is the
     cost of asking for whole documents; consumers that can stream
     should read (doc_id, chunk_idx, chunk_tokens) from decode_chunks
-    directly and keep chunk granularity."""
+    directly and keep chunk granularity. Docs beyond 2^31-1 tokens
+    cannot be one list<int32> row at all — the stitcher raises a clear
+    error (_giant_doc_error) instead of overflowing Arrow offsets."""
     return decoded_df.groupBy("doc_id").agg(
         F.flatten(
             F.transform(
@@ -410,6 +412,61 @@ def reassemble_docs(decoded_df: DataFrame) -> DataFrame:
                 lambda s: s.getField("chunk_tokens"),
             )
         ).alias("tokens")
+    )
+
+
+# Arrow list<int32> offsets cap the tokens one emitted RecordBatch can
+# hold (Spark reads list columns with 32-bit offsets; large_list is not
+# part of the mapInArrow contract). Docs are split across batches below
+# the cap; a SINGLE doc beyond it cannot be one row at all.
+_EMIT_CAP = 2**31 - 1
+
+
+def _giant_doc_error(doc_id, n_tok):
+    return ValueError(
+        f"document {doc_id!r} decodes to {n_tok} tokens, which overflows "
+        "Arrow list<int32> offsets (max 2^31-1 per row). Whole-doc "
+        "reassembly cannot represent it — consume this doc at chunk "
+        "granularity instead (decode_chunks)."
+    )
+
+
+def _emit_doc_batches(doc_ids, token_arrays):
+    """(ids, per-doc arrays) -> RecordBatches whose cumulative list
+    offsets stay below _EMIT_CAP. Splitting is per-doc (greedy), so a
+    batch of many large docs emits as several valid batches instead of
+    overflowing the int32 offset vector."""
+    start, total = 0, 0
+    for i, t in enumerate(token_arrays):
+        if len(t) > _EMIT_CAP:
+            raise _giant_doc_error(doc_ids[i], len(t))
+        if total + len(t) > _EMIT_CAP:
+            yield _emit_one(doc_ids[start:i], token_arrays[start:i])
+            start, total = i, 0
+        total += len(t)
+    yield _emit_one(doc_ids[start:], token_arrays[start:])
+
+
+def _emit_one(doc_ids, token_arrays):
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(doc_ids, pa.string()),
+            pa.ListArray.from_arrays(
+                pa.array(
+                    np.concatenate(
+                        ([0], np.cumsum([len(t) for t in token_arrays]))
+                    ),
+                    pa.int32(),
+                ),
+                pa.array(
+                    np.concatenate(token_arrays)
+                    if token_arrays
+                    else np.zeros(0, np.int32),
+                    pa.int32(),
+                ),
+            ),
+        ],
+        names=["doc_id", "tokens"],
     )
 
 
@@ -421,28 +478,7 @@ def _stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     carried into the next batch."""
     carry_id = None
     carry_parts: list[np.ndarray] = []
-
-    def emit(doc_ids, token_arrays):
-        return pa.RecordBatch.from_arrays(
-            [
-                pa.array(doc_ids, pa.string()),
-                pa.ListArray.from_arrays(
-                    pa.array(
-                        np.concatenate(
-                            ([0], np.cumsum([len(t) for t in token_arrays]))
-                        ),
-                        pa.int32(),
-                    ),
-                    pa.array(
-                        np.concatenate(token_arrays)
-                        if token_arrays
-                        else np.zeros(0, np.int32),
-                        pa.int32(),
-                    ),
-                ),
-            ],
-            names=["doc_id", "tokens"],
-        )
+    carry_total = 0
 
     for b in batches:
         if b.num_rows == 0:
@@ -460,6 +496,9 @@ def _stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             part = vals[offs[row] : offs[j + 1]]
             if carry_id is not None and ids[row] == carry_id:
                 carry_parts.append(part)
+                carry_total += len(part)
+                if carry_total > _EMIT_CAP:  # fail BEFORE the giant concat
+                    raise _giant_doc_error(carry_id, carry_total)
             else:
                 if carry_id is not None:
                     out_ids.append(carry_id)
@@ -470,11 +509,12 @@ def _stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                     )
                 carry_id = ids[row]
                 carry_parts = [part]
+                carry_total = len(part)
             row = j + 1
         if out_ids:
-            yield emit(out_ids, out_toks)
+            yield from _emit_doc_batches(out_ids, out_toks)
     if carry_id is not None:
-        yield emit(
+        yield from _emit_doc_batches(
             [carry_id],
             [np.concatenate(carry_parts) if len(carry_parts) > 1 else carry_parts[0]],
         )
@@ -523,28 +563,7 @@ def _decode_stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
     carry_id = None
     carry_last_cidx = -1
     carry_parts: list[np.ndarray] = []
-
-    def emit(doc_ids, token_arrays):
-        return pa.RecordBatch.from_arrays(
-            [
-                pa.array(doc_ids, pa.string()),
-                pa.ListArray.from_arrays(
-                    pa.array(
-                        np.concatenate(
-                            ([0], np.cumsum([len(t) for t in token_arrays]))
-                        ),
-                        pa.int32(),
-                    ),
-                    pa.array(
-                        np.concatenate(token_arrays)
-                        if token_arrays
-                        else np.zeros(0, np.int32),
-                        pa.int32(),
-                    ),
-                ),
-            ],
-            names=["doc_id", "tokens"],
-        )
+    carry_total = 0
 
     for b in batches:
         if b.num_rows == 0:
@@ -581,6 +600,9 @@ def _decode_stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
             if continuing:
                 if len(part):
                     carry_parts.append(part)
+                    carry_total += len(part)
+                    if carry_total > _EMIT_CAP:  # before the giant concat
+                        raise _giant_doc_error(carry_id, carry_total)
             else:
                 if carry_id is not None:
                     out_ids.append(carry_id)
@@ -591,12 +613,13 @@ def _decode_stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
                     )
                 carry_id = ids[row]
                 carry_parts = [part]
+                carry_total = len(part)
             carry_last_cidx = int(cidx[j])
             row = j + 1
         if out_ids:
-            yield emit(out_ids, out_toks)
+            yield from _emit_doc_batches(out_ids, out_toks)
     if carry_id is not None:
-        yield emit(
+        yield from _emit_doc_batches(
             [carry_id],
             [np.concatenate(carry_parts) if len(carry_parts) > 1 else carry_parts[0]],
         )

@@ -19,6 +19,7 @@ Layout under ``out_dir``:
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from dataclasses import dataclass
@@ -95,6 +96,45 @@ class EncodeJob:
     def partition_manifest_path(self) -> str:
         return os.path.join(self.out_dir, "manifest", "partitions")
 
+    @property
+    def format_marker_path(self) -> str:
+        return os.path.join(self.out_dir, "_tokseq_format.json")
+
+    def _write_format_marker(self) -> None:
+        from ..codecs import FORMAT_VERSION
+
+        if "://" in self.out_dir:  # object-store/catalog mode: the
+            return  # marker would ride TableIO table properties instead
+        with open(self.format_marker_path, "w") as f:
+            json.dump({"format_version": FORMAT_VERSION}, f)
+
+    def _check_format_marker(self, action: str) -> None:
+        """Refuse to mix payload format versions in one store. Payloads
+        carry no self-describing version (headers are packed structs),
+        so the store-level marker is the loud guard: a v1 store (or any
+        store written before markers existed) fails here with a clear
+        message instead of decoding to silently wrong tokens."""
+        from ..codecs import FORMAT_VERSION
+
+        if "://" in self.out_dir:
+            return
+        try:
+            with open(self.format_marker_path) as f:
+                ver = json.load(f).get("format_version")
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"cannot {action}: {self.out_dir} has no _tokseq_format.json "
+                "marker — it was written by a pre-v2 build whose payload "
+                "layout (unpadded dict/split/split3 streams) this decoder "
+                "does not read. Re-encode the store (resume=False)."
+            ) from None
+        if ver != FORMAT_VERSION:
+            raise RuntimeError(
+                f"cannot {action}: {self.out_dir} is payload format v{ver}, "
+                f"this build reads/writes v{FORMAT_VERSION}. Re-encode the "
+                "store (resume=False) or use a matching tokseq build."
+            )
+
     def _read_manifest(self) -> DataFrame | None:
         try:
             return self.spark.read.parquet(self.chunk_manifest_path)
@@ -124,6 +164,11 @@ class EncodeJob:
         shuffle -> encode; required for resume) or directly from a
         parquet corpus path (fast path: worker-side pyarrow scan)."""
         t0 = time.time()
+        if resume:
+            self._check_format_marker("resume-append onto store")
+        else:
+            os.makedirs(self.out_dir, exist_ok=True)
+            self._write_format_marker()
         if corpus_path is not None and not resume:
             from .scan import encode_parquet_direct
 
@@ -197,6 +242,7 @@ class EncodeJob:
         return result
 
     def encoded(self) -> DataFrame:
+        self._check_format_marker("read store")
         return self.spark.read.parquet(self.encoded_path)
 
     def decode(self) -> DataFrame:

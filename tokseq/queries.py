@@ -522,22 +522,25 @@ def q_engine_roundtrip_agg(spark, sf_dir):
     The DuckDB oracle computes the same aggregates from the raw text —
     a hash match proves encode→decode end-to-end against an
     independent engine (the reference's pack/unpack roundtrip,
-    /root/reference/src/test.rs:10-55, as a driver-checkable query)."""
+    /root/reference/src/test.rs:10-55, as a driver-checkable query).
+
+    Decode goes through ``decode_docs`` — the PRODUCTION one-exchange
+    path EncodeJob.decode() ships (compressed-byte shuffle + fused
+    decode/stitch/inline-dedup) — so the cross-engine hash certifies
+    the path users actually run, not just the reference
+    reassemble_docs implementation (pytest keeps the two equal)."""
     from .engine.chunk import plan_chunks
-    from .engine.decode import decode_chunks
+    from .engine.decode import decode_docs
     from .engine.encode import encode_chunks
 
     docs = tokenize_documents_md5(spark, sf_dir)
-    dec = decode_chunks(encode_chunks(plan_chunks(docs, 4096)))
-    per_chunk = dec.select(
+    dec = decode_docs(encode_chunks(plan_chunks(docs, 4096)))
+    per_doc = dec.select(
         "doc_id",
-        F.size("chunk_tokens").cast("long").alias("n_tok"),
+        F.size("tokens").cast("long").alias("n_tok"),
         F.aggregate(
-            "chunk_tokens", F.lit(0).cast("long"), lambda a, v: a + v
+            "tokens", F.lit(0).cast("long"), lambda a, v: a + v
         ).alias("sum_tok"),
-    )
-    per_doc = per_chunk.groupBy("doc_id").agg(
-        F.sum("n_tok").alias("n_tok"), F.sum("sum_tok").alias("sum_tok")
     )
     src = docs.select("doc_id", "source")
     return (
@@ -607,15 +610,17 @@ GROUP BY doc_id
 def q_engine_roundtrip(spark, sf_dir):
     """Full engine on tokenized documents: chunk -> encode -> decode ->
     verify; per-source mismatch counts and byte totals. Rows-only
-    (binary payloads are not SQL-expressible)."""
+    (binary payloads are not SQL-expressible). Decode runs the
+    production one-exchange ``decode_docs`` path (same as
+    EncodeJob.decode)."""
     from .engine.chunk import plan_chunks
-    from .engine.decode import decode_chunks, reassemble_docs
+    from .engine.decode import decode_docs
     from .engine.encode import encode_chunks
     from .engine.verify import roundtrip_report
 
     docs = tokenize_documents(spark, sf_dir).cache()
     enc = encode_chunks(plan_chunks(docs, 4096))
-    back = reassemble_docs(decode_chunks(enc))
+    back = decode_docs(enc)
     rep = roundtrip_report(docs.select("doc_id", "tokens"), back)
     src = docs.select("doc_id", "source")
     return (

@@ -97,8 +97,11 @@ def compute_chunk_stats(
         change[starts[~empty]] = True
     # int32 prefix sum: the engine sub-batches to ~256k values, far
     # under 2^31, and the narrower accumulator halves this pass's
-    # memory traffic (stats is bandwidth-bound)
-    cs = np.concatenate(([0], np.cumsum(change, dtype=np.int32)))
+    # memory traffic (stats is bandwidth-bound). The public API can be
+    # called with arbitrary batches, so fall back to int64 before the
+    # accumulator could wrap (ADVICE r3: misuse must not corrupt n_runs).
+    acc = np.int32 if m < 2**31 else np.int64
+    cs = np.concatenate(([0], np.cumsum(change, dtype=acc)))
     n_runs = (cs[offsets[1:]] - cs[starts]).astype(np.int64)
 
     run_detail = ~empty

@@ -249,6 +249,15 @@ def _prepare(values: np.ndarray):
     return lo, w, bw, _to_bytes(d, bw).astype(np.int32)
 
 
+def learn_encode_stream(stream, bw, w, lo, budget_bytes=None):
+    """Per-chunk learn + finalize on an already-prepared stream; None
+    when the post-replace length proves the chunk cannot beat budget."""
+    rounds, id_exp, stream = _learn(stream)
+    if budget_bytes is not None and len(stream) + 2 >= budget_bytes:
+        return None
+    return _finalize(stream, id_exp, bw, w, lo)
+
+
 class SharedFsstTable:
     """A symbol table learned once on a sample of similar chunks and
     applied replace-only per chunk (FSST's block-level amortization).
@@ -279,8 +288,12 @@ class SharedFsstTable:
         return _finalize(stream, self.id_exp, self.bw, w, lo)
 
     def encode_streams_batch(
-        self, streams: list[np.ndarray], ws: list[int], los: list[int]
-    ) -> list[Encoded]:
+        self,
+        streams: list[np.ndarray],
+        ws: list[int],
+        los: list[int],
+        budgets: list[int] | None = None,
+    ) -> list:
         """Replace-only encode of MANY chunks in one pass per round:
         streams concatenate, pairs that would span a chunk boundary
         are forbidden (so each chunk's greedy replacement is identical
@@ -318,9 +331,13 @@ class SharedFsstTable:
             )
             lens = lens - removed
         offs = np.concatenate(([0], np.cumsum(lens)))
+        # certain losers (post-replace length already >= budget) skip
+        # finalize — it is the batch path's dominant per-chunk cost
         return [
-            _finalize(stream[offs[j] : offs[j + 1]], self.id_exp, self.bw,
-                      ws[j], los[j])
+            None
+            if budgets is not None and lens[j] + 2 >= budgets[j]
+            else _finalize(stream[offs[j] : offs[j + 1]], self.id_exp,
+                           self.bw, ws[j], los[j])
             for j in range(len(streams))
         ]
 
@@ -350,8 +367,9 @@ class FsstCodec(Codec):
         if _screen_reject(stream, budget_bytes):
             return None
 
-        rounds, id_exp, stream = _learn(stream)
-        return _finalize(stream, id_exp, bw, w, lo)
+        # learn_encode_stream skips the (expensive) finalize when the
+        # post-replace length already proves the chunk over budget
+        return learn_encode_stream(stream, bw, w, lo, budget_bytes)
 
     def encode_with_table(
         self,

@@ -97,12 +97,23 @@ def rechunk_offsets(
 _SUBBATCH_VALUES = 256 * 1024  # ~1 MB of int32 per slice
 
 
-def encode_batch_kernel(values: np.ndarray, offsets: np.ndarray, enable_fsst: bool = True):
+def encode_batch_kernel(
+    values: np.ndarray,
+    offsets: np.ndarray,
+    enable_fsst: bool = True,
+    workload: str = "read",
+):
     """Encode a batch of chunks (cache-blocked). Returns dict of
     per-chunk output arrays."""
     nseg = len(offsets) - 1
     if nseg == 0:
-        return _encode_subbatch(values, offsets, enable_fsst)
+        return _encode_subbatch(values, offsets, enable_fsst, workload=workload)
+    # shared FSST tables persist ACROSS sub-batches (keyed by byte
+    # width, newest learn wins): short chunks — doc tails of the same
+    # regime the table was just learned on — encode replace-only
+    # against it instead of paying a per-chunk learn (the dominant
+    # mixed-corpus encode cost, ~30% of wall in the r4 profile)
+    fsst_cache: dict = {}
     # split chunk ranges into slices of ~_SUBBATCH_VALUES values
     outs = []
     start = 0
@@ -113,7 +124,9 @@ def encode_batch_kernel(values: np.ndarray, offsets: np.ndarray, enable_fsst: bo
             end += 1
         sub_off = offsets[start : end + 1] - offsets[start]
         sub_vals = values[offsets[start] : offsets[end]]
-        outs.append(_encode_subbatch(sub_vals, sub_off, enable_fsst))
+        outs.append(
+            _encode_subbatch(sub_vals, sub_off, enable_fsst, fsst_cache, workload)
+        )
         start = end
     if len(outs) == 1:
         return outs[0]
@@ -218,8 +231,81 @@ def _encode_split_group(
     out_min[grp] = vmin
 
 
+def _encode_dict_group(values, offsets, grp, st, payloads, out_width, out_min):
+    """Grouped dict encode (r4, measured-first per NOTES_r4 item 2):
+    codes stay PER-CHUNK (cache-resident — the whole-group argsort lost
+    in r3), via a sort-free bincount rank LUT when the chunk's value
+    range is small, np.unique otherwise; the PACKS batch — dictionary
+    streams through one padded-group pack per distinct width, index
+    streams through one pack per distinct width for byte-aligned
+    chunks. Payloads byte-identical to DictCodec.encode."""
+    from ..codecs.bitpack import pack_bits_le, packed_size
+    from ..codecs.simple import DictCodec, _width_of
+
+    hdr = DictCodec._HDR
+    k = len(grp)
+    ns_g = st.n[grp].astype(np.int64)
+    uniq_parts: list[np.ndarray] = []
+    codes_of: list[np.ndarray] = [None] * k
+    cards = np.empty(k, np.int64)
+    wds = np.empty(k, np.int64)
+    wis = np.empty(k, np.int64)
+    for j, i in enumerate(grp):
+        v = values[offsets[i] : offsets[i + 1]]
+        lo = int(st.vmin[i])
+        rng = int(st.vmax[i]) - lo
+        d = v - v.dtype.type(lo)
+        if rng < 4096:
+            # bincount + rank LUT: O(n + range), no sort (wins while
+            # the LUT stays L1/L2-resident; measured crossover ~2^12)
+            present = np.bincount(d, minlength=rng + 1) > 0
+            uniq = np.flatnonzero(present)
+            lut = np.cumsum(present, dtype=np.int32)
+            lut -= 1
+            codes = lut[d]
+        else:
+            uniq, codes = np.unique(d, return_inverse=True)
+        cards[j] = len(uniq)
+        wds[j] = _width_of(int(uniq[-1]))  # uniq[0] == 0 by construction
+        wis[j] = int(cards[j] - 1).bit_length()
+        uniq_parts.append(uniq)
+        codes_of[j] = codes
+    dict_s = _pack_padded_group(
+        np.concatenate(uniq_parts).astype(np.int64), cards, wds
+    )
+    # index streams: byte-aligned chunks (n % 8 == 0) of one width
+    # concatenate into a single pack call, exactly like decode batches
+    # them back apart; others pack per chunk
+    idx_s: list[bytes] = [b""] * k
+    aligned = (ns_g % 8 == 0) & (wis > 0)
+    for w in np.unique(wis[aligned]):
+        selw = np.flatnonzero(aligned & (wis == w))
+        buf = pack_bits_le(
+            np.concatenate([codes_of[j] for j in selw]).astype(np.int64), int(w)
+        )
+        pos = 0
+        for j in selw:
+            nb = packed_size(int(ns_g[j]), int(w))
+            idx_s[j] = buf[pos : pos + nb]
+            pos += nb
+    for j in np.flatnonzero(~aligned & (wis > 0)):
+        idx_s[j] = pack_bits_le(codes_of[j], int(wis[j]))
+    for j, i in enumerate(grp):
+        payloads[i] = (
+            hdr.pack(int(cards[j]), int(wds[j]), int(wis[j]))
+            + dict_s[j]
+            + idx_s[j]
+        )
+    out_width[grp] = wds
+    out_min[grp] = st.vmin[grp]
+
+
 def _encode_subbatch(
-    values: np.ndarray, offsets: np.ndarray, enable_fsst: bool = True
+    values: np.ndarray,
+    offsets: np.ndarray,
+    enable_fsst: bool = True,
+    fsst_cache: dict | None = None,
+    workload: str = "read",
 ):
     st = compute_chunk_stats(values, offsets, approx=True)
     if len(st.vmin) and st.vmin.min() < 0:
@@ -228,7 +314,7 @@ def _encode_subbatch(
             f"negative token value in chunk {bad} (min={st.vmin[bad]}); "
             "token domain is [0, 2^31)"
         )
-    sel = select(st, enable_fsst=enable_fsst)
+    sel = select(st, enable_fsst=enable_fsst, workload=workload)
     names = sel.names()
     nseg = st.n_chunks
 
@@ -238,11 +324,14 @@ def _encode_subbatch(
     # learning is the kernel's dominant cost on text-like tokens)
     from ..codecs.fsst import SharedFsstTable, _byte_width, _prepare
 
-    # shared tables only pay off on LONG streams (>= ~4KB): a short
-    # chunk using many shared symbols spends more on its per-chunk
-    # header than the replacements save
+    # tables are LEARNED only from long streams (>= ~4KB — enough pair
+    # mass to pick stable symbols) but APPLIED replace-only to every
+    # candidate of their byte width, including short doc-tail chunks
+    # (budget-checked, so a poor fit just keeps the cheaper codec)
     _SHARED_MIN_STREAM = 4096
-    shared_tables: dict[int, SharedFsstTable] = {}
+    shared_tables: dict[int, SharedFsstTable] = (
+        fsst_cache if fsst_cache is not None else {}
+    )
     if enable_fsst:
         cand_idx = np.flatnonzero(sel.fsst_candidate)
         if len(cand_idx) >= 6:
@@ -258,6 +347,8 @@ def _encode_subbatch(
                 for i in idxs[:16]:
                     _, _, _, s = _prepare(values[offsets[i] : offsets[i + 1]])
                     parts.append(s[:2048])
+                # newest learn wins: the corpus is source-clustered, so
+                # the freshest table tracks the current regime
                 shared_tables[bw] = SharedFsstTable.learn(
                     np.concatenate(parts), bw
                 )
@@ -334,6 +425,14 @@ def _encode_subbatch(
             )
             done[grp] = True
 
+    # --- grouped dict encode: per-chunk codes (sort-free rank LUT for
+    # small ranges), batched dictionary + index packs. dict's estimate
+    # is exact, so no floor-fallback check is needed.
+    grp = np.flatnonzero((name_arr == "dict") & split_ok & ~done)
+    if len(grp):
+        _encode_dict_group(values, offsets, grp, st, payloads, out_width, out_min)
+        done[grp] = True
+
     for i in range(nseg):
         if done[i]:
             continue
@@ -360,11 +459,15 @@ def _encode_subbatch(
             name, enc = "bitpack", bitpack.encode(v)
         if sel.fsst_candidate[i]:
             bw = _byte_width(int(st.vmax[i] - st.vmin[i]))
-            table = shared_tables.get(bw)
-            if table is not None and int(st.n[i]) * bw >= _SHARED_MIN_STREAM:
-                # defer to the batched shared-table pass below
+            if shared_tables.get(bw) is not None:
+                # defer to the batched shared-table pass below (any
+                # stream length: replace-only costs ~nothing and the
+                # budget check keeps losers out)
                 fsst_deferred.setdefault(bw, []).append((i, len(enc.payload)))
             else:
+                # no table yet for this byte width (e.g. a regime whose
+                # chunks are all short): per-chunk learn, screen- and
+                # budget-guarded like every other fsst attempt
                 fenc = fsst.encode(v, budget_bytes=len(enc.payload))
                 if fenc is not None and len(fenc.payload) < len(enc.payload):
                     name, enc = "fsst", fenc
@@ -375,9 +478,17 @@ def _encode_subbatch(
 
     # batched shared-table FSST try-encode: all deferred candidates of
     # one byte width replace in ONE pass per round (chunk-boundary
-    # pairs forbidden -> byte-identical to per-chunk encode_with_table)
+    # pairs forbidden -> byte-identical to per-chunk encode_with_table).
+    # Chunks that pass the screen but LOSE against the shared table get
+    # a per-chunk learn fallback: on gram-rich data the shared symbol
+    # budget (254 slots for the whole regime) undershoots what a
+    # chunk-local table captures — measured on the phrases regime,
+    # per-chunk tables reach 1.73 B/tok where shared plateaus at 1.91
+    # (BENCH/KERNELS.md r4). The screen already filtered the hopeless,
+    # so fallback learns are mostly winners, not waste.
     from ..codecs.fsst import _prepare as _fsst_prepare
     from ..codecs.fsst import _screen_reject as _fsst_screen
+    from ..codecs.fsst import learn_encode_stream as _fsst_learn
 
     for bw, items in fsst_deferred.items():
         table = shared_tables[bw]
@@ -391,14 +502,23 @@ def _encode_subbatch(
         if not streams:
             continue
         encs = table.encode_streams_batch(
-            streams, [m[3] for m in metas], [m[2] for m in metas]
+            streams, [m[3] for m in metas], [m[2] for m in metas],
+            budgets=[m[1] for m in metas],
         )
-        for (i, budget, lo, w), fenc in zip(metas, encs):
+        for (i, budget, lo, w), stream, fenc in zip(metas, streams, encs):
             if fenc is not None and len(fenc.payload) < budget:
                 payloads[i] = fenc.payload
                 out_codec[i] = "fsst"
                 out_width[i] = fenc.bit_width
                 out_min[i] = fenc.min_val
+            else:
+                best = budget if fenc is None else min(budget, len(fenc.payload))
+                fb = _fsst_learn(stream, bw, w, lo, best)
+                if fb is not None and len(fb.payload) < budget:
+                    payloads[i] = fb.payload
+                    out_codec[i] = "fsst"
+                    out_width[i] = fb.bit_width
+                    out_min[i] = fb.min_val
 
     return {
         "codec": out_codec,
@@ -437,6 +557,7 @@ def _encode_map(
     chunk_width: int,
     quality_threshold: int = 10,
     mask_vocab: int | None = None,
+    workload: str = "read",
 ) -> Iterator[pa.RecordBatch]:
     from pyspark import TaskContext
 
@@ -448,7 +569,7 @@ def _encode_map(
         values, row_offsets = list_column_to_numpy(batch.column("chunk_tokens"))
         base_idx = batch.column("chunk_idx").to_numpy(zero_copy_only=False).astype(np.int64)
         offsets, row_of, chunk_idx = rechunk_offsets(row_offsets, base_idx, chunk_width)
-        out = encode_batch_kernel(values, offsets, enable_fsst)
+        out = encode_batch_kernel(values, offsets, enable_fsst, workload)
         n = len(chunk_idx)
         has_quality = batch.schema.get_field_index("chunk_quality") != -1
         if has_quality or mask_vocab is not None:
@@ -505,6 +626,7 @@ def encode_chunks(
     chunk_width: int = 4096,
     quality_threshold: int = 10,
     mask_vocab: int | None = None,
+    workload: str = "read",
 ):
     """(doc_id, source, chunk_idx, chunk_tokens[, chunk_quality]) ->
     encoded DataFrame.
@@ -517,7 +639,7 @@ def encode_chunks(
     column — the PackedNSeq pairing (null = all positions valid)."""
     return chunks_df.mapInArrow(
         lambda it: _encode_map(
-            it, enable_fsst, chunk_width, quality_threshold, mask_vocab
+            it, enable_fsst, chunk_width, quality_threshold, mask_vocab, workload
         ),
         ENCODED_SCHEMA,
     )

@@ -69,6 +69,7 @@ class EncodeJob:
         num_partitions: int | None = None,
         quality_threshold: int = 10,
         mask_vocab: int | None = None,
+        workload: str = "read",
     ):
         if chunk_width < 16:
             # W=1-ish widths explode row counts (one row per token) and
@@ -82,6 +83,12 @@ class EncodeJob:
         self.num_partitions = num_partitions or spark.sparkContext.defaultParallelism
         self.quality_threshold = quality_threshold
         self.mask_vocab = mask_vocab
+        if workload not in ("read", "write"):
+            raise ValueError(f"workload must be 'read' or 'write', got {workload!r}")
+        # "read" (default): codec argmin biased by DECODE cost — right
+        # for a write-once-read-many store. "write": biased by ENCODE
+        # cost (selector.ENCODE_MULT) for ingest-bound deployments.
+        self.workload = workload
 
     # --- paths ---
     @property
@@ -175,7 +182,7 @@ class EncodeJob:
             encoded = encode_parquet_direct(
                 self.spark, corpus_path, self.chunk_width,
                 self.enable_fsst, self.num_partitions,
-                self.quality_threshold, self.mask_vocab,
+                self.quality_threshold, self.mask_vocab, self.workload,
             )
         else:
             if docs is None:
@@ -184,7 +191,7 @@ class EncodeJob:
             chunks = repartition_chunks(chunks, self.num_partitions)
             encoded = encode_chunks(
                 chunks, self.enable_fsst, self.chunk_width,
-                self.quality_threshold, self.mask_vocab,
+                self.quality_threshold, self.mask_vocab, self.workload,
             )
         # bucket must survive the encode kernel: recompute (deterministic)
         encoded = with_bucket(encoded, self.n_buckets)

@@ -94,6 +94,7 @@ def _scan_encode_map(
     chunk_width: int,
     quality_threshold: int = 10,
     mask_vocab: int | None = None,
+    workload: str = "read",
 ) -> Iterator[pa.RecordBatch]:
     import pyarrow.parquet as pq
 
@@ -121,7 +122,7 @@ def _scan_encode_map(
             offsets, row_of, chunk_idx = rechunk_offsets(
                 row_offsets, base_idx, chunk_width
             )
-            out = encode_batch_kernel(values, offsets, enable_fsst)
+            out = encode_batch_kernel(values, offsets, enable_fsst, workload)
             take = pa.array(row_of, pa.int64())
             doc_id = tbl.column("doc_id").combine_chunks().take(take)
             source = tbl.column("source").combine_chunks().take(take)
@@ -220,6 +221,7 @@ def encode_parquet_direct(
     num_partitions: int | None = None,
     quality_threshold: int = 10,
     mask_vocab: int | None = None,
+    workload: str = "read",
 ):
     """Encode a parquet corpus via worker-side pyarrow reads.
 
@@ -234,7 +236,7 @@ def encode_parquet_direct(
     sdf = _splits_df(spark, splits)
     return sdf.mapInArrow(
         lambda it: _scan_encode_map(
-            it, enable_fsst, chunk_width, quality_threshold, mask_vocab
+            it, enable_fsst, chunk_width, quality_threshold, mask_vocab, workload
         ),
         ENCODED_SCHEMA,
     )

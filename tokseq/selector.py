@@ -54,6 +54,21 @@ SPEED_MULT = np.array(
     [1.000, 1.000, 1.005, 1.010, 1.020, 1.015, 1.020, 1.030]
 )
 
+# Encode-cost-aware mode (write-heavy stores, VERDICT r3 task 5): same
+# argmin construction but the multipliers follow the measured
+# single-core ENCODE rates (BENCH/KERNELS.md r4: bitpack 35 / for 25 /
+# rle 28 / dict 22 / zipf-split3 10 Mtok/s — split3 packs 5 streams at
+# ~1.35x split2's batched cost). Under these margins split3 displaces
+# split only when it saves >= ~2.5% of bytes and bitpack only at
+# >= 4%. bitpack still carries the lowest multiplier, so the
+# "payload <= bitpack floor" guarantee holds by the same argument as
+# SPEED_MULT's.
+ENCODE_MULT = np.array(
+    [1.000, 1.000, 1.005, 1.010, 1.025, 1.015, 1.030, 1.040]
+)
+
+WORKLOAD_MULT = {"read": SPEED_MULT, "write": ENCODE_MULT}
+
 
 def _w(x: np.ndarray) -> np.ndarray:
     """Effective field width: bit_length, floored at 1."""
@@ -101,9 +116,14 @@ def estimate_sizes(st: ChunkStats) -> np.ndarray:
     # values) independently, so the estimate rounds each to bytes too —
     # a single rounding could undercount by up to 2 bytes and let pfor
     # win the argmin against a codec that is actually smaller.
-    hist = st.bl_hist  # (nseg, 65)
+    # Width columns are trimmed to the sub-batch's max FoR width: no
+    # delta has bit-length above its chunk's w_for, so every per-width
+    # cost curve is non-decreasing past max(w_for) and the argmins are
+    # unchanged (narrow regimes drop 65 -> w+1 columns of matrix math).
+    W = int(min(64, w_for.max())) if len(n) else 64
+    hist = st.bl_hist[:, : W + 1]  # (nseg, <=65)
     exc_at = n[:, None] - np.cumsum(hist, axis=1)  # exc_at[:, wb]
-    widths = np.arange(65)[None, :]
+    widths = np.arange(W + 1)[None, :]
     wp_est = bit_length(np.maximum(n - 1, 0))[:, None]  # position-delta width
     cost_bits = (
         ((n[:, None] * widths + 7) // 8)
@@ -157,7 +177,7 @@ def estimate_sizes(st: ChunkStats) -> np.ndarray:
     # exhaustive 2-D argmin on every datagen regime (worst gap 0.27%)
     big = np.iinfo(np.int64).max // 2
     w1v = split_w1.astype(np.int64)
-    wmv = np.minimum(w1v + 1, 64)
+    wmv = np.minimum(w1v + 1, W)
     for _ in range(3):
         c1 = np.take_along_axis(n_low, w1v[:, None], 1)
         cost_m = (n_low - c1) * widths + (n[:, None] - n_low) * w_for[:, None]
@@ -186,12 +206,17 @@ def estimate_sizes(st: ChunkStats) -> np.ndarray:
     return sizes, pfor_wb, split_w1, pfor_ef_wb, w1v, wmv
 
 
-def select(st: ChunkStats, enable_fsst: bool = True) -> Selection:
+def select(
+    st: ChunkStats, enable_fsst: bool = True, workload: str = "read"
+) -> Selection:
     sizes, pfor_wb, split_w1, pfor_ef_wb, split3_w1, split3_wm = estimate_sizes(st)
-    # cost-aware argmin: size weighted by the decode-speed multiplier;
-    # prefer lower codec index on ties -> bitpack wins ties (simplest
-    # decode). est_bytes stays the TRUE size of the pick (manifests).
-    codec_idx = np.argmin(sizes * SPEED_MULT[:, None], axis=0)
+    # cost-aware argmin: size weighted by the decode-speed multiplier
+    # (default: a 100-TB store is read-heavy) or, in workload="write"
+    # mode, by the encode-cost multiplier; prefer lower codec index on
+    # ties -> bitpack wins ties (simplest decode). est_bytes stays the
+    # TRUE size of the pick (manifests).
+    mult = WORKLOAD_MULT[workload]
+    codec_idx = np.argmin(sizes * mult[:, None], axis=0)
     est = np.take_along_axis(sizes, codec_idx[None, :], 0).ravel()
     floor = sizes[0]
     # fsst candidacy: big-enough chunk, >= 9-bit values, and the best

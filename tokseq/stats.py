@@ -191,6 +191,13 @@ def compute_chunk_stats(
                 skip2 = np.zeros(nseg, dtype=bool)
                 skip2[big[dict_hopeless]] = True
                 card_detail &= ~skip2
+        # (r4 negative result, BENCH/KERNELS.md: replacing the composite
+        # sort with a keyed bincount for small-range detail chunks
+        # measured only 0.214 -> 0.205s on the scale-4 mix while
+        # allocating ~5MB/sub-batch against the cache-blocking design —
+        # reverted. The r2 screens already skip the sort wherever
+        # RLE/dict cannot win; what remains is chunks where dict DOES
+        # win and needs exact card.)
         if card_detail.any():
             if card_detail.all():
                 sub_deltas, sub_seg = deltas, seg_of.astype(np.int64)

@@ -1437,6 +1437,184 @@ QUERIES["embedding_ivf_topk"] = q_embedding_ivf_topk
 # rows-only: k-means training is iterative, not SQL-expressible
 
 
+# --- frozen-codebook IVF (VERDICT r3 task 8) -------------------------------
+# The codebook below was trained ONCE (scripts/freeze_ivf_centroids.py:
+# the same deterministic Lloyd as _ivf_centroids — K=8, 5 iterations,
+# hash-random 256-sample — on the sf0.01 embeddings, rounded to 6
+# decimals) and FROZEN as literals in both engines. Training stays
+# non-SQL (embedding_ivf_topk, rows-only by design); everything the
+# serving path does with a trained codebook — cell assignment and
+# probed top-k — is plain relational algebra over constants, so it
+# goes under the full DuckDB hash check here. Scores are rounded to 4
+# decimals in BOTH engines before every argmin/rank (float folds are
+# not associative across engines) with cell/vec_id tie-breaks.
+_IVF_FROZEN = [
+    [0.022096, 0.050618, -0.003455, -0.034099, 0.003799, -0.019961, 0.050975, 0.022758, -0.010916, -0.059111, 0.104742, 0.003098, 0.004223, -0.043388, 0.032216, 0.036857, 0.056712, 0.034288, 0.017254, -0.027093, -0.042222, -0.030998, 0.02358, 0.001862, -0.019488, 0.04741, -0.038932, -0.036104, 0.026513, 0.002072, 0.088411, 0.000259, -0.010538, -0.02449, -0.01819, -0.003632, -0.070462, -0.010154, -0.005301, 0.030863, 0.030043, 0.029644, -0.046848, -0.049958, -0.011405, -0.003904, 0.025257, -0.011751, 0.026946, -0.027256, -0.025788, 0.009638, -0.0347, -0.072111, 0.058389, -0.015219, -0.015609, -0.003829, -0.017394, -0.091117, -0.016143, -0.034728, -0.006782, -0.030344],
+    [-0.017083, 0.007558, -0.019485, 0.069881, 0.073599, -0.002452, -0.029332, -0.001628, -0.033852, -0.025905, 0.017639, -0.051345, -0.037793, 0.001952, -9.6e-05, -0.025156, 0.042975, 0.00424, 0.024783, 0.009851, 0.058358, 0.060961, 0.078669, -0.085178, -0.034094, 0.04134, 0.025283, 0.061184, -0.033159, -0.005189, 0.029093, -0.008255, -0.005003, -0.030186, 0.042105, 0.022185, 0.071034, -0.012777, 0.03614, 0.102226, -0.008758, -0.015476, 0.02538, -0.036181, -0.059636, -0.036064, 0.007445, -0.02769, -0.031814, 0.051921, -0.029005, -0.008902, -0.005037, -0.02391, -0.014437, -0.010588, 0.030645, -0.066182, -0.029249, 0.028913, -0.01059, 0.014001, 0.06204, -0.043108],
+    [0.022096, 0.005205, 0.051033, 0.013041, -0.015411, -0.047082, -0.001857, 0.069958, -0.052951, 0.045829, -0.012931, 0.001075, 0.060088, 0.069324, 0.01897, -0.008596, -0.02609, 0.01797, -0.064283, 0.004412, -0.015946, 0.020773, 0.031934, 0.002868, 0.02629, -0.00074, -0.056444, 0.016554, -0.02866, 0.038583, 0.017394, -0.020626, 0.032988, 0.064533, 0.044567, 0.019769, -0.047115, 0.005849, 0.014079, 0.054667, -0.018207, -0.03823, 0.018784, 0.033409, -0.028828, -0.013312, -0.05121, 0.003003, -0.005148, -0.019922, 0.119979, 0.059609, 0.016604, 0.016264, 0.048174, 0.034248, 0.005574, -0.002742, -0.033049, 0.002725, -0.007584, -0.004027, -0.005826, -0.051956],
+    [-0.079896, -0.025814, 0.070959, 0.014247, -0.032336, 0.034999, -0.05201, 0.00647, -0.00407, 0.074667, -0.073275, 0.023107, 0.042338, -0.10043, 0.03005, 0.035312, 0.019753, -0.004567, 0.041337, -0.006141, -0.019142, 0.002601, 0.002357, 0.008527, 0.014312, 0.11859, 0.020914, -0.018703, -0.014833, -0.065519, -0.050911, 0.046428, 0.01085, -0.018955, -0.001817, 0.015417, -0.02972, -0.046275, 0.017725, -0.041449, 0.042283, -0.019699, 0.000869, 0.048477, -0.019369, -0.011696, 0.03544, 0.023845, -0.051515, -0.039899, -0.031833, 0.02383, 0.011514, 0.028425, 0.018614, 0.042021, 0.029326, 0.0617, -0.031096, -0.041369, -0.045535, 0.002719, -0.041788, -0.02958],
+    [0.057911, 0.055843, 0.026752, 0.05226, 0.011986, 0.034202, -0.07454, 0.004502, 0.045866, -0.031179, -0.038399, 0.102822, -0.04503, 0.031717, 0.006845, -0.035, -0.057003, -0.01834, 0.028044, 0.006821, -0.065951, 0.001829, -0.063993, 0.051588, 0.088378, 0.053536, 0.084022, -0.04152, -0.032317, 0.011284, 0.007526, -0.017642, -0.112059, 0.0457, -0.037597, -0.046146, -0.076403, 0.097564, -0.01473, -0.017307, -0.095589, -0.052105, -0.037376, -0.01138, 0.018655, -0.047013, 0.032394, -0.009419, 0.001125, 0.013425, -0.014727, -0.007071, -0.016599, -0.015984, -0.017773, 0.006826, 0.09525, 0.064715, -0.014347, 0.035414, 0.005494, -0.102137, 0.037691, 0.003447],
+    [-0.007223, -0.000808, -0.007353, -0.01533, 0.041817, 0.018449, -0.02093, 0.002375, -0.014775, -0.041806, 0.034787, -0.060696, -0.021278, -0.020704, -0.016938, -0.011581, -0.030125, 0.020065, 0.052882, 0.048389, 0.005291, -0.041476, -0.04515, -0.041959, -0.047164, 0.028076, 0.01063, -0.002365, 0.050521, 0.071857, -0.058761, -0.033121, 0.011404, -0.037321, -0.006823, -0.060292, 0.01076, -0.015535, -0.030776, 0.038856, -0.015107, -0.037693, -0.001383, 0.025997, 0.035883, 0.080326, -0.028282, 0.036405, 0.034073, 0.04087, 0.001814, -0.050632, -0.031085, -0.023182, -0.018772, -0.046478, 0.04554, 0.0001, 0.053499, 0.039685, 0.011348, 0.036531, -0.032262, -0.009503],
+    [-0.024999, -0.032775, -0.033047, -0.066896, -0.005886, 0.011606, -0.034283, -0.036552, 0.038014, 0.02615, 0.040144, -0.016519, -0.034604, 0.039739, -0.026874, -0.036041, 0.030468, 0.021528, -0.041766, 0.015453, 0.006746, 0.0182, -0.027118, 0.042823, 0.017244, -0.053613, 0.028854, 0.001996, 0.003284, -0.072017, 0.003792, 0.019013, 0.0668, -0.069351, 0.010686, 0.021833, 0.031455, 0.003124, 0.03145, -0.0292, -0.007966, -7.6e-05, 0.019273, -0.011886, 0.024404, 0.039339, 0.015978, -0.013141, -0.042323, -0.0273, -0.009788, -0.030942, 0.073669, -0.035062, -0.012965, -0.019559, -0.040701, -0.032585, 0.038596, -0.071952, -0.006695, 0.075575, -0.00825, 0.01875],
+    [0.017484, 0.012355, -0.021314, -0.058132, 0.042984, -0.001887, -0.071667, -0.015509, -0.00359, -0.00424, -0.026746, 0.047165, -0.042283, -0.021747, -0.014502, 0.056911, -0.034548, 0.039917, 0.006115, 0.010848, 0.038757, -0.036909, 0.026028, -0.053375, 0.019396, -0.075747, -0.082094, 0.007595, 0.001984, 0.013967, 0.060861, -0.0547, -0.017786, 0.011034, -0.040389, -0.018671, 0.018518, 0.027654, 0.007663, -0.087864, 0.012277, 0.007737, 0.019525, 0.041569, -0.060703, 0.028439, -0.00219, 0.01669, 0.061065, -0.023206, -0.014449, -0.029087, -0.023593, 0.031579, 0.057102, 0.002583, 0.00491, 0.006614, -0.078946, 0.02129, 0.024062, -0.003429, 0.021409, 0.035315],
+]
+
+_IVF_FROZEN_HALF = [0.0437035377745, 0.0489258735, 0.042473042385499996, 0.0516593785685, 0.075929206562, 0.0385799785785, 0.038434616805, 0.0434669149615]
+
+
+def _ivf_frozen_score_cols():
+    """Per-cell score round(dot(v, c_j) - |c_j|^2/2, 4) — argmax of
+    this equals argmin of euclidean distance (same algebra as
+    _cell_expr), made hash-stable by the rounding."""
+    cols = []
+    for c, h in zip(_IVF_FROZEN, _IVF_FROZEN_HALF):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cols.append(F.round(dot - F.lit(h), 4))
+    return cols
+
+
+def _ivf_frozen_cell():
+    """argmax over the scored cells; ties go to the LOWEST cell index
+    (array_max on (score, -cell) structs)."""
+    scores = _ivf_frozen_score_cols()
+    arr = F.array(
+        *[
+            F.struct(s.alias("s"), F.lit(-j).alias("negc"))
+            for j, s in enumerate(scores)
+        ]
+    )
+    return (-F.array_max(arr)["negc"]).cast("int")
+
+
+def q_embedding_ivf_assign(spark, sf_dir):
+    """IVF serving-path invariant #1: every vector's nearest-centroid
+    cell under the frozen codebook."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.select("vec_id", _ivf_frozen_cell().alias("cell"))
+
+
+ORACLE_IVF_ASSIGN = """
+WITH cents(cell, c, h) AS (VALUES
+  (0, [0.022096, 0.050618, -0.003455, -0.034099, 0.003799, -0.019961, 0.050975, 0.022758, -0.010916, -0.059111, 0.104742, 0.003098, 0.004223, -0.043388, 0.032216, 0.036857, 0.056712, 0.034288, 0.017254, -0.027093, -0.042222, -0.030998, 0.02358, 0.001862, -0.019488, 0.04741, -0.038932, -0.036104, 0.026513, 0.002072, 0.088411, 0.000259, -0.010538, -0.02449, -0.01819, -0.003632, -0.070462, -0.010154, -0.005301, 0.030863, 0.030043, 0.029644, -0.046848, -0.049958, -0.011405, -0.003904, 0.025257, -0.011751, 0.026946, -0.027256, -0.025788, 0.009638, -0.0347, -0.072111, 0.058389, -0.015219, -0.015609, -0.003829, -0.017394, -0.091117, -0.016143, -0.034728, -0.006782, -0.030344]::DOUBLE[], 0.0437035377745),
+  (1, [-0.017083, 0.007558, -0.019485, 0.069881, 0.073599, -0.002452, -0.029332, -0.001628, -0.033852, -0.025905, 0.017639, -0.051345, -0.037793, 0.001952, -9.6e-05, -0.025156, 0.042975, 0.00424, 0.024783, 0.009851, 0.058358, 0.060961, 0.078669, -0.085178, -0.034094, 0.04134, 0.025283, 0.061184, -0.033159, -0.005189, 0.029093, -0.008255, -0.005003, -0.030186, 0.042105, 0.022185, 0.071034, -0.012777, 0.03614, 0.102226, -0.008758, -0.015476, 0.02538, -0.036181, -0.059636, -0.036064, 0.007445, -0.02769, -0.031814, 0.051921, -0.029005, -0.008902, -0.005037, -0.02391, -0.014437, -0.010588, 0.030645, -0.066182, -0.029249, 0.028913, -0.01059, 0.014001, 0.06204, -0.043108]::DOUBLE[], 0.0489258735),
+  (2, [0.022096, 0.005205, 0.051033, 0.013041, -0.015411, -0.047082, -0.001857, 0.069958, -0.052951, 0.045829, -0.012931, 0.001075, 0.060088, 0.069324, 0.01897, -0.008596, -0.02609, 0.01797, -0.064283, 0.004412, -0.015946, 0.020773, 0.031934, 0.002868, 0.02629, -0.00074, -0.056444, 0.016554, -0.02866, 0.038583, 0.017394, -0.020626, 0.032988, 0.064533, 0.044567, 0.019769, -0.047115, 0.005849, 0.014079, 0.054667, -0.018207, -0.03823, 0.018784, 0.033409, -0.028828, -0.013312, -0.05121, 0.003003, -0.005148, -0.019922, 0.119979, 0.059609, 0.016604, 0.016264, 0.048174, 0.034248, 0.005574, -0.002742, -0.033049, 0.002725, -0.007584, -0.004027, -0.005826, -0.051956]::DOUBLE[], 0.042473042385499996),
+  (3, [-0.079896, -0.025814, 0.070959, 0.014247, -0.032336, 0.034999, -0.05201, 0.00647, -0.00407, 0.074667, -0.073275, 0.023107, 0.042338, -0.10043, 0.03005, 0.035312, 0.019753, -0.004567, 0.041337, -0.006141, -0.019142, 0.002601, 0.002357, 0.008527, 0.014312, 0.11859, 0.020914, -0.018703, -0.014833, -0.065519, -0.050911, 0.046428, 0.01085, -0.018955, -0.001817, 0.015417, -0.02972, -0.046275, 0.017725, -0.041449, 0.042283, -0.019699, 0.000869, 0.048477, -0.019369, -0.011696, 0.03544, 0.023845, -0.051515, -0.039899, -0.031833, 0.02383, 0.011514, 0.028425, 0.018614, 0.042021, 0.029326, 0.0617, -0.031096, -0.041369, -0.045535, 0.002719, -0.041788, -0.02958]::DOUBLE[], 0.0516593785685),
+  (4, [0.057911, 0.055843, 0.026752, 0.05226, 0.011986, 0.034202, -0.07454, 0.004502, 0.045866, -0.031179, -0.038399, 0.102822, -0.04503, 0.031717, 0.006845, -0.035, -0.057003, -0.01834, 0.028044, 0.006821, -0.065951, 0.001829, -0.063993, 0.051588, 0.088378, 0.053536, 0.084022, -0.04152, -0.032317, 0.011284, 0.007526, -0.017642, -0.112059, 0.0457, -0.037597, -0.046146, -0.076403, 0.097564, -0.01473, -0.017307, -0.095589, -0.052105, -0.037376, -0.01138, 0.018655, -0.047013, 0.032394, -0.009419, 0.001125, 0.013425, -0.014727, -0.007071, -0.016599, -0.015984, -0.017773, 0.006826, 0.09525, 0.064715, -0.014347, 0.035414, 0.005494, -0.102137, 0.037691, 0.003447]::DOUBLE[], 0.075929206562),
+  (5, [-0.007223, -0.000808, -0.007353, -0.01533, 0.041817, 0.018449, -0.02093, 0.002375, -0.014775, -0.041806, 0.034787, -0.060696, -0.021278, -0.020704, -0.016938, -0.011581, -0.030125, 0.020065, 0.052882, 0.048389, 0.005291, -0.041476, -0.04515, -0.041959, -0.047164, 0.028076, 0.01063, -0.002365, 0.050521, 0.071857, -0.058761, -0.033121, 0.011404, -0.037321, -0.006823, -0.060292, 0.01076, -0.015535, -0.030776, 0.038856, -0.015107, -0.037693, -0.001383, 0.025997, 0.035883, 0.080326, -0.028282, 0.036405, 0.034073, 0.04087, 0.001814, -0.050632, -0.031085, -0.023182, -0.018772, -0.046478, 0.04554, 0.0001, 0.053499, 0.039685, 0.011348, 0.036531, -0.032262, -0.009503]::DOUBLE[], 0.0385799785785),
+  (6, [-0.024999, -0.032775, -0.033047, -0.066896, -0.005886, 0.011606, -0.034283, -0.036552, 0.038014, 0.02615, 0.040144, -0.016519, -0.034604, 0.039739, -0.026874, -0.036041, 0.030468, 0.021528, -0.041766, 0.015453, 0.006746, 0.0182, -0.027118, 0.042823, 0.017244, -0.053613, 0.028854, 0.001996, 0.003284, -0.072017, 0.003792, 0.019013, 0.0668, -0.069351, 0.010686, 0.021833, 0.031455, 0.003124, 0.03145, -0.0292, -0.007966, -7.6e-05, 0.019273, -0.011886, 0.024404, 0.039339, 0.015978, -0.013141, -0.042323, -0.0273, -0.009788, -0.030942, 0.073669, -0.035062, -0.012965, -0.019559, -0.040701, -0.032585, 0.038596, -0.071952, -0.006695, 0.075575, -0.00825, 0.01875]::DOUBLE[], 0.038434616805),
+  (7, [0.017484, 0.012355, -0.021314, -0.058132, 0.042984, -0.001887, -0.071667, -0.015509, -0.00359, -0.00424, -0.026746, 0.047165, -0.042283, -0.021747, -0.014502, 0.056911, -0.034548, 0.039917, 0.006115, 0.010848, 0.038757, -0.036909, 0.026028, -0.053375, 0.019396, -0.075747, -0.082094, 0.007595, 0.001984, 0.013967, 0.060861, -0.0547, -0.017786, 0.011034, -0.040389, -0.018671, 0.018518, 0.027654, 0.007663, -0.087864, 0.012277, 0.007737, 0.019525, 0.041569, -0.060703, 0.028439, -0.00219, 0.01669, 0.061065, -0.023206, -0.014449, -0.029087, -0.023593, 0.031579, 0.057102, 0.002583, 0.00491, 0.006614, -0.078946, 0.02129, 0.024062, -0.003429, 0.021409, 0.035315]::DOUBLE[], 0.0434669149615)
+), scored AS (
+  SELECT e.vec_id, c.cell,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], c.c) - c.h, 4) AS s
+  FROM embeddings e CROSS JOIN cents c
+)
+SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+def q_embedding_ivf_topk_frozen(spark, sf_dir):
+    """IVF serving-path invariant #2: probe the query's top-3 cells of
+    the frozen codebook, cosine top-3 within the probed cells. Each
+    vector lives in exactly one cell, so no per-query dedup is needed."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cells = emb.withColumn("cell", _ivf_frozen_cell())
+    scores = _ivf_frozen_score_cols()
+    q = emb.filter(F.col("vec_id") < 8)
+    probe = q.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.posexplode(F.array(*scores)).alias("cell", "s"),
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("cell"))
+    probes = (
+        probe.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= _IVF_NPROBE)
+        .select("qid", "qv", "cell")
+    )
+    cand = cells.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = cand.select(
+        "qid", "vec_id",
+        F.round(dot / (norm(F.col("qv")) * norm(F.col("embedding"))), 4).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "rank", "vec_id", "cos")
+    )
+
+
+ORACLE_IVF_TOPK_FROZEN = """
+WITH cents(cell, c, h) AS (VALUES
+  (0, [0.022096, 0.050618, -0.003455, -0.034099, 0.003799, -0.019961, 0.050975, 0.022758, -0.010916, -0.059111, 0.104742, 0.003098, 0.004223, -0.043388, 0.032216, 0.036857, 0.056712, 0.034288, 0.017254, -0.027093, -0.042222, -0.030998, 0.02358, 0.001862, -0.019488, 0.04741, -0.038932, -0.036104, 0.026513, 0.002072, 0.088411, 0.000259, -0.010538, -0.02449, -0.01819, -0.003632, -0.070462, -0.010154, -0.005301, 0.030863, 0.030043, 0.029644, -0.046848, -0.049958, -0.011405, -0.003904, 0.025257, -0.011751, 0.026946, -0.027256, -0.025788, 0.009638, -0.0347, -0.072111, 0.058389, -0.015219, -0.015609, -0.003829, -0.017394, -0.091117, -0.016143, -0.034728, -0.006782, -0.030344]::DOUBLE[], 0.0437035377745),
+  (1, [-0.017083, 0.007558, -0.019485, 0.069881, 0.073599, -0.002452, -0.029332, -0.001628, -0.033852, -0.025905, 0.017639, -0.051345, -0.037793, 0.001952, -9.6e-05, -0.025156, 0.042975, 0.00424, 0.024783, 0.009851, 0.058358, 0.060961, 0.078669, -0.085178, -0.034094, 0.04134, 0.025283, 0.061184, -0.033159, -0.005189, 0.029093, -0.008255, -0.005003, -0.030186, 0.042105, 0.022185, 0.071034, -0.012777, 0.03614, 0.102226, -0.008758, -0.015476, 0.02538, -0.036181, -0.059636, -0.036064, 0.007445, -0.02769, -0.031814, 0.051921, -0.029005, -0.008902, -0.005037, -0.02391, -0.014437, -0.010588, 0.030645, -0.066182, -0.029249, 0.028913, -0.01059, 0.014001, 0.06204, -0.043108]::DOUBLE[], 0.0489258735),
+  (2, [0.022096, 0.005205, 0.051033, 0.013041, -0.015411, -0.047082, -0.001857, 0.069958, -0.052951, 0.045829, -0.012931, 0.001075, 0.060088, 0.069324, 0.01897, -0.008596, -0.02609, 0.01797, -0.064283, 0.004412, -0.015946, 0.020773, 0.031934, 0.002868, 0.02629, -0.00074, -0.056444, 0.016554, -0.02866, 0.038583, 0.017394, -0.020626, 0.032988, 0.064533, 0.044567, 0.019769, -0.047115, 0.005849, 0.014079, 0.054667, -0.018207, -0.03823, 0.018784, 0.033409, -0.028828, -0.013312, -0.05121, 0.003003, -0.005148, -0.019922, 0.119979, 0.059609, 0.016604, 0.016264, 0.048174, 0.034248, 0.005574, -0.002742, -0.033049, 0.002725, -0.007584, -0.004027, -0.005826, -0.051956]::DOUBLE[], 0.042473042385499996),
+  (3, [-0.079896, -0.025814, 0.070959, 0.014247, -0.032336, 0.034999, -0.05201, 0.00647, -0.00407, 0.074667, -0.073275, 0.023107, 0.042338, -0.10043, 0.03005, 0.035312, 0.019753, -0.004567, 0.041337, -0.006141, -0.019142, 0.002601, 0.002357, 0.008527, 0.014312, 0.11859, 0.020914, -0.018703, -0.014833, -0.065519, -0.050911, 0.046428, 0.01085, -0.018955, -0.001817, 0.015417, -0.02972, -0.046275, 0.017725, -0.041449, 0.042283, -0.019699, 0.000869, 0.048477, -0.019369, -0.011696, 0.03544, 0.023845, -0.051515, -0.039899, -0.031833, 0.02383, 0.011514, 0.028425, 0.018614, 0.042021, 0.029326, 0.0617, -0.031096, -0.041369, -0.045535, 0.002719, -0.041788, -0.02958]::DOUBLE[], 0.0516593785685),
+  (4, [0.057911, 0.055843, 0.026752, 0.05226, 0.011986, 0.034202, -0.07454, 0.004502, 0.045866, -0.031179, -0.038399, 0.102822, -0.04503, 0.031717, 0.006845, -0.035, -0.057003, -0.01834, 0.028044, 0.006821, -0.065951, 0.001829, -0.063993, 0.051588, 0.088378, 0.053536, 0.084022, -0.04152, -0.032317, 0.011284, 0.007526, -0.017642, -0.112059, 0.0457, -0.037597, -0.046146, -0.076403, 0.097564, -0.01473, -0.017307, -0.095589, -0.052105, -0.037376, -0.01138, 0.018655, -0.047013, 0.032394, -0.009419, 0.001125, 0.013425, -0.014727, -0.007071, -0.016599, -0.015984, -0.017773, 0.006826, 0.09525, 0.064715, -0.014347, 0.035414, 0.005494, -0.102137, 0.037691, 0.003447]::DOUBLE[], 0.075929206562),
+  (5, [-0.007223, -0.000808, -0.007353, -0.01533, 0.041817, 0.018449, -0.02093, 0.002375, -0.014775, -0.041806, 0.034787, -0.060696, -0.021278, -0.020704, -0.016938, -0.011581, -0.030125, 0.020065, 0.052882, 0.048389, 0.005291, -0.041476, -0.04515, -0.041959, -0.047164, 0.028076, 0.01063, -0.002365, 0.050521, 0.071857, -0.058761, -0.033121, 0.011404, -0.037321, -0.006823, -0.060292, 0.01076, -0.015535, -0.030776, 0.038856, -0.015107, -0.037693, -0.001383, 0.025997, 0.035883, 0.080326, -0.028282, 0.036405, 0.034073, 0.04087, 0.001814, -0.050632, -0.031085, -0.023182, -0.018772, -0.046478, 0.04554, 0.0001, 0.053499, 0.039685, 0.011348, 0.036531, -0.032262, -0.009503]::DOUBLE[], 0.0385799785785),
+  (6, [-0.024999, -0.032775, -0.033047, -0.066896, -0.005886, 0.011606, -0.034283, -0.036552, 0.038014, 0.02615, 0.040144, -0.016519, -0.034604, 0.039739, -0.026874, -0.036041, 0.030468, 0.021528, -0.041766, 0.015453, 0.006746, 0.0182, -0.027118, 0.042823, 0.017244, -0.053613, 0.028854, 0.001996, 0.003284, -0.072017, 0.003792, 0.019013, 0.0668, -0.069351, 0.010686, 0.021833, 0.031455, 0.003124, 0.03145, -0.0292, -0.007966, -7.6e-05, 0.019273, -0.011886, 0.024404, 0.039339, 0.015978, -0.013141, -0.042323, -0.0273, -0.009788, -0.030942, 0.073669, -0.035062, -0.012965, -0.019559, -0.040701, -0.032585, 0.038596, -0.071952, -0.006695, 0.075575, -0.00825, 0.01875]::DOUBLE[], 0.038434616805),
+  (7, [0.017484, 0.012355, -0.021314, -0.058132, 0.042984, -0.001887, -0.071667, -0.015509, -0.00359, -0.00424, -0.026746, 0.047165, -0.042283, -0.021747, -0.014502, 0.056911, -0.034548, 0.039917, 0.006115, 0.010848, 0.038757, -0.036909, 0.026028, -0.053375, 0.019396, -0.075747, -0.082094, 0.007595, 0.001984, 0.013967, 0.060861, -0.0547, -0.017786, 0.011034, -0.040389, -0.018671, 0.018518, 0.027654, 0.007663, -0.087864, 0.012277, 0.007737, 0.019525, 0.041569, -0.060703, 0.028439, -0.00219, 0.01669, 0.061065, -0.023206, -0.014449, -0.029087, -0.023593, 0.031579, 0.057102, 0.002583, 0.00491, 0.006614, -0.078946, 0.02129, 0.024062, -0.003429, 0.021409, 0.035315]::DOUBLE[], 0.0434669149615)
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], c.c) - c.h, 4) AS s
+  FROM embeddings e CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT vec_id, embedding, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS qid, embedding AS qv, cell FROM (
+    SELECT vec_id, embedding, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM scored WHERE vec_id < 8
+  ) WHERE rn <= 3
+), cand AS (
+  SELECT p.qid, a.vec_id,
+         ROUND(list_dot_product(p.qv::DOUBLE[], a.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[])) *
+                sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))),
+               4) AS cos
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.vec_id <> p.qid
+)
+SELECT qid, rank, vec_id, cos FROM (
+  SELECT qid, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+  FROM cand
+) WHERE rank <= 3
+"""
+
+QUERIES["embedding_ivf_assign"] = q_embedding_ivf_assign
+ORACLES["embedding_ivf_assign"] = ORACLE_IVF_ASSIGN
+QUERIES["embedding_ivf_topk_frozen"] = q_embedding_ivf_topk_frozen
+ORACLES["embedding_ivf_topk_frozen"] = ORACLE_IVF_TOPK_FROZEN
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: same-LSH-bucket candidates with
     rounded cosine >= 0.5 (vec_id1 < vec_id2). The LSH prefilter is

@@ -161,6 +161,11 @@ def decode_batch_kernel(
             )
             done[grp] = True
 
+    # fsst stays PER-CHUNK by measurement (r4, BENCH/KERNELS.md): a
+    # grouped decoder with chunk-rank-keyed symbol tables lost 76ms vs
+    # 57ms on the mix's 340 fsst chunks — fsst decode is per-byte
+    # work (escape resolve + expansion gather), not per-call setup,
+    # and the group's big int64 intermediates leave L2.
     for i in range(n_chunks):
         if done[i]:
             continue

@@ -135,25 +135,37 @@ def run_child(cores: int, corpus: str, do_write: bool, out_json: str) -> None:
     }
 
     if do_write:
+        # write twice (best-of-2: the write stage is heavy), decode
+        # 3x on the final store (best-of-3) — single-shot walls carry
+        # the same one-noisy-sample fragility the encode levels had
         out_dir = tempfile.mkdtemp(prefix="tokseq_bench_out_")
         try:
             job = EncodeJob(spark, out_dir, chunk_width=4096, n_buckets=64)
-            t0 = time.time()
-            job.run(corpus_path=corpus)
-            metrics["encode_write_sec"] = time.time() - t0
-            t0 = time.time()
-            decoded = job.decode()
-            decoded.agg(F.sum(F.size("tokens"))).collect()
-            metrics["decode_sec"] = time.time() - t0
+            metrics["encode_write_sec"] = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                job.run(corpus_path=corpus)
+                metrics["encode_write_sec"] = min(
+                    metrics["encode_write_sec"], time.time() - t0
+                )
+            metrics["decode_sec"] = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                job.decode().agg(F.sum(F.size("tokens"))).collect()
+                metrics["decode_sec"] = min(metrics["decode_sec"], time.time() - t0)
             metrics["decode_tokens_per_sec"] = row["v"] / metrics["decode_sec"]
             # decode kernel probe (worker-side scan, no reassembly shuffle)
             from tokseq.engine.scan import decode_parquet_summary
 
-            t0 = time.time()
-            dsum = decode_parquet_summary(spark, job.encoded_path).agg(
-                F.sum("n_values")
-            ).collect()[0][0]
-            metrics["decode_kernel_sec"] = time.time() - t0
+            metrics["decode_kernel_sec"] = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                dsum = decode_parquet_summary(spark, job.encoded_path).agg(
+                    F.sum("n_values")
+                ).collect()[0][0]
+                metrics["decode_kernel_sec"] = min(
+                    metrics["decode_kernel_sec"], time.time() - t0
+                )
             metrics["decode_kernel_tokens_per_sec"] = dsum / metrics["decode_kernel_sec"]
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)

@@ -104,6 +104,30 @@ def test_workload_write_roundtrips_and_respects_floor():
     assert np.array_equal(flat, vals)
 
 
+def test_workload_write_skips_per_chunk_learns():
+    """write mode keeps only the amortized shared-table FSST replaces:
+    on gram-rich chunks (where per-chunk learns are what wins) it must
+    pick fsst no more often than read mode, encode to >= read-mode
+    bytes, and still roundtrip exactly."""
+    rng = np.random.default_rng(7)
+    chunks = _phrase_chunks(rng, 40)
+    vals, offs = _batch(chunks)
+    out_r = encode_batch_kernel(vals, offs, enable_fsst=True, workload="read")
+    out_w = encode_batch_kernel(vals, offs, enable_fsst=True, workload="write")
+    n_r = sum(1 for c in out_r["codec"] if c == "fsst")
+    n_w = sum(1 for c in out_w["codec"] if c == "fsst")
+    assert n_w <= n_r
+    assert sum(map(len, out_w["payload"])) >= sum(map(len, out_r["payload"]))
+    assert (
+        np.asarray(out_w["out_bytes"]) <= np.asarray(out_w["floor_bytes"])
+    ).all()
+    flat, _ = decode_batch_kernel(
+        out_w["payload"], out_w["codec"], out_w["bit_width"],
+        out_w["min_val"], out_w["n_values"],
+    )
+    assert np.array_equal(flat, vals)
+
+
 def test_workload_invalid_raises():
     from tokseq.engine.pipeline import EncodeJob
 

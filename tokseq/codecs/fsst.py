@@ -152,7 +152,13 @@ def _learn(stream: np.ndarray, min_count: int = _MIN_PAIR_COUNT):
 
 def _finalize(stream: np.ndarray, id_exp: dict, bw: int, w: int, lo: int) -> Encoded:
     """Dense-remap used symbols, assign code byte values (least
-    frequent literals), escape-emit, build the self-contained payload."""
+    frequent literals), escape-emit, build the self-contained payload.
+
+    Emission is two LUT gathers plus a sparse escape insert (escapes
+    are rare by construction — code values are the LEAST frequent
+    literals), instead of the r3 mask/cumsum/three-scatter assembly
+    (~10 stream passes). Payload bytes are identical (fuzz + frozen
+    goldens)."""
     n_learned = len(id_exp) - 256
     used = np.unique(stream[stream >= 256]) if len(stream) else np.zeros(0, np.int64)
     if len(used):
@@ -162,29 +168,24 @@ def _finalize(stream: np.ndarray, id_exp: dict, bw: int, w: int, lo: int) -> Enc
     expansions = [id_exp[int(s)] for s in used]
     L = len(expansions)
 
-    lit_freq = np.bincount(stream[stream < 256], minlength=256).astype(np.int64)
+    lit_freq = np.bincount(stream, minlength=256)[:256].astype(np.int64)
     order = np.argsort(lit_freq, kind="stable")
     code_values = order[order != _ESC][:L].tolist()
-    needs_escape = np.zeros(256, dtype=bool)
-    needs_escape[_ESC] = True
-    needs_escape[code_values] = True
-    sym_code = np.array(code_values, dtype=np.uint8)
 
-    is_dict = stream >= 256
-    lit_vals = np.where(is_dict, 0, stream)
-    esc = (~is_dict) & needs_escape[lit_vals]
-    lens = np.where(is_dict | ~esc, 1, 2)
-    off = np.concatenate(([0], np.cumsum(lens)))
-    out = np.empty(off[-1], dtype=np.uint8)
-    one = lens == 1
-    out[off[:-1][one]] = np.where(
-        is_dict[one],
-        sym_code[(stream[one] - 256).clip(min=0)] if L else 0,
-        stream[one],
-    ).astype(np.uint8)
-    two = ~one
-    out[off[:-1][two]] = _ESC
-    out[off[:-1][two] + 1] = stream[two].astype(np.uint8)
+    # emit LUT: literal byte -> itself, dense symbol id -> its code
+    emit_lut = np.empty(256 + L, dtype=np.uint8)
+    emit_lut[:256] = np.arange(256, dtype=np.uint8)
+    # escape LUT: True for byte values that collide with a code (or ESC)
+    esc_lut = np.zeros(256 + L, dtype=bool)
+    esc_lut[_ESC] = True
+    if L:
+        emit_lut[256:] = np.array(code_values, dtype=np.uint8)
+        esc_lut[code_values] = True
+
+    out = emit_lut[stream]
+    esc_idx = np.flatnonzero(esc_lut[stream])
+    if len(esc_idx):
+        out = np.insert(out, esc_idx, np.uint8(_ESC))
 
     header = bytearray(_HDR.pack(bw, L))
     for c, e in zip(code_values, expansions):

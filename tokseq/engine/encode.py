@@ -464,10 +464,13 @@ def _encode_subbatch(
                 # stream length: replace-only costs ~nothing and the
                 # budget check keeps losers out)
                 fsst_deferred.setdefault(bw, []).append((i, len(enc.payload)))
-            else:
+            elif workload == "read":
                 # no table yet for this byte width (e.g. a regime whose
                 # chunks are all short): per-chunk learn, screen- and
-                # budget-guarded like every other fsst attempt
+                # budget-guarded like every other fsst attempt.
+                # write-heavy sites keep only the amortized shared-
+                # table replaces — per-chunk learns are the most
+                # expensive encode step.
                 fenc = fsst.encode(v, budget_bytes=len(enc.payload))
                 if fenc is not None and len(fenc.payload) < len(enc.payload):
                     name, enc = "fsst", fenc
@@ -511,7 +514,11 @@ def _encode_subbatch(
                 out_codec[i] = "fsst"
                 out_width[i] = fenc.bit_width
                 out_min[i] = fenc.min_val
-            else:
+            elif workload == "read":
+                # write-heavy sites skip the fallback learns: a
+                # per-chunk learn is the single most expensive encode
+                # step (~0.5ms/chunk) and the shared replace above
+                # already captured the cheap part of the win
                 best = budget if fenc is None else min(budget, len(fenc.payload))
                 fb = _fsst_learn(stream, bw, w, lo, best)
                 if fb is not None and len(fb.payload) < budget:

@@ -128,6 +128,37 @@ def test_workload_write_skips_per_chunk_learns():
     assert np.array_equal(flat, vals)
 
 
+def test_fsst_read_margin_prunes_marginal_wins(monkeypatch):
+    """Read-mode fsst acceptance carries a decode-cost margin
+    (selector.FSST_SPEED_MULT): vs a no-margin run on the same input it
+    must only ever REMOVE fsst picks (never add), bytes weakly
+    increase, floor still holds, and the output still roundtrips."""
+    import tokseq.engine.encode as E
+
+    rng = np.random.default_rng(21)
+    chunks = _phrase_chunks(rng, 30) + [
+        rng.integers(0, 1 << 16, 4096).astype(np.int32) for _ in range(10)
+    ]
+    vals, offs = _batch(chunks)
+    out_m = encode_batch_kernel(vals, offs, enable_fsst=True, workload="read")
+    monkeypatch.setattr(
+        E, "_READ_FSST_BUDGET", {k: 1.0 for k in E._READ_FSST_BUDGET}
+    )
+    out_0 = encode_batch_kernel(vals, offs, enable_fsst=True, workload="read")
+    fsst_m = {i for i, c in enumerate(out_m["codec"]) if c == "fsst"}
+    fsst_0 = {i for i, c in enumerate(out_0["codec"]) if c == "fsst"}
+    assert fsst_m <= fsst_0
+    assert sum(map(len, out_m["payload"])) >= sum(map(len, out_0["payload"]))
+    assert (
+        np.asarray(out_m["out_bytes"]) <= np.asarray(out_m["floor_bytes"])
+    ).all()
+    flat, _ = decode_batch_kernel(
+        out_m["payload"], out_m["codec"], out_m["bit_width"],
+        out_m["min_val"], out_m["n_values"],
+    )
+    assert np.array_equal(flat, vals)
+
+
 def test_workload_invalid_raises():
     from tokseq.engine.pipeline import EncodeJob
 

@@ -23,8 +23,24 @@ import numpy as np
 import pyarrow as pa
 
 from ..codecs import get_codec
-from ..selector import select
+from ..selector import CODEC_NAMES, FSST_SPEED_MULT, SPEED_MULT, select
 from ..stats import compute_chunk_stats
+
+# read-mode fsst acceptance budget: the incumbent's payload scaled by
+# the decode-cost multiplier gap (selector.FSST_SPEED_MULT). fsst must
+# SAVE the gap, not tie it; write mode stays byte-greedy (the replace
+# against an already-learned shared table is ~free to encode, and the
+# margin is a decode-cost argument).
+_READ_FSST_BUDGET = {
+    name: float(SPEED_MULT[i] / FSST_SPEED_MULT)
+    for i, name in enumerate(CODEC_NAMES)
+}
+
+
+def _fsst_budget(budget: int, incumbent: str, workload: str) -> int:
+    if workload != "read":
+        return budget
+    return int(budget * _READ_FSST_BUDGET[incumbent])
 
 ENCODED_SCHEMA = (
     "doc_id string, chunk_idx int, source string, codec string, "
@@ -462,8 +478,11 @@ def _encode_subbatch(
             if shared_tables.get(bw) is not None:
                 # defer to the batched shared-table pass below (any
                 # stream length: replace-only costs ~nothing and the
-                # budget check keeps losers out)
-                fsst_deferred.setdefault(bw, []).append((i, len(enc.payload)))
+                # budget check keeps losers out); read mode shrinks
+                # the budget by the decode-cost margin
+                fsst_deferred.setdefault(bw, []).append(
+                    (i, _fsst_budget(len(enc.payload), name, workload))
+                )
             elif workload == "read":
                 # no table yet for this byte width (e.g. a regime whose
                 # chunks are all short): per-chunk learn, screen- and
@@ -471,8 +490,9 @@ def _encode_subbatch(
                 # write-heavy sites keep only the amortized shared-
                 # table replaces — per-chunk learns are the most
                 # expensive encode step.
-                fenc = fsst.encode(v, budget_bytes=len(enc.payload))
-                if fenc is not None and len(fenc.payload) < len(enc.payload):
+                b_eff = _fsst_budget(len(enc.payload), name, workload)
+                fenc = fsst.encode(v, budget_bytes=b_eff)
+                if fenc is not None and len(fenc.payload) < b_eff:
                     name, enc = "fsst", fenc
         payloads[i] = enc.payload
         out_codec[i] = name

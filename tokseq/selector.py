@@ -69,6 +69,17 @@ ENCODE_MULT = np.array(
 
 WORKLOAD_MULT = {"read": SPEED_MULT, "write": ENCODE_MULT}
 
+# fsst sits outside the estimate matrix (it try-encodes against the
+# argmin winner's actual payload), but the same decode-cost philosophy
+# applies: fsst decodes ~11 Mtok/s single-core vs 25-150+ for the
+# batch paths (BENCH/KERNELS.md), so on the SPEED_MULT scale (split3
+# at ~25-30 Mtok/s carries 1.030) fsst sits at ~1.05. Read-mode
+# acceptance requires size_fsst * FSST_SPEED_MULT < budget *
+# mult_incumbent — fsst must beat the incumbent by the multiplier gap
+# (~2-5%), not merely tie it. The budget only ever SHRINKS, so the
+# "payload <= bitpack floor" guarantee is untouched.
+FSST_SPEED_MULT = 1.05
+
 
 def _w(x: np.ndarray) -> np.ndarray:
     """Effective field width: bit_length, floored at 1."""

@@ -71,6 +71,47 @@ def test_batched_decode_matches_per_chunk_codec_decode():
         assert np.array_equal(ref, c), (i, out["codec"][i])
 
 
+@pytest.mark.parametrize("codec_name", ["bitpack", "for", "rle", "dict"])
+def test_grouped_path_tail_chunks_zero_extend_join(codec_name):
+    """Chunks whose length is NOT a multiple of 8 have byte-padded (not
+    8-field-padded) streams; the batch decoder zero-extends each
+    section at join time. Every chunk here is unaligned and widths
+    vary, so a pad-math error would corrupt neighboring chunks."""
+    rng = np.random.default_rng(13)
+    chunks = []
+    for t in range(40):
+        k = int(rng.integers(1, 900))
+        if k % 8 == 0:
+            k += 1
+        hi_bits = int(rng.integers(3, 30))
+        if codec_name == "dict":
+            card = int(rng.integers(1, 40))
+            v = rng.integers(0, 1 << hi_bits, card)[rng.integers(0, card, k)]
+        elif codec_name == "rle":
+            v = np.repeat(
+                rng.integers(0, 1 << hi_bits, k // 9 + 1),
+                rng.integers(1, 18, k // 9 + 1),
+            )[:k]
+            if len(v) < k:
+                v = np.concatenate([v, np.full(k - len(v), v[-1])])
+        elif codec_name == "for":
+            v = (1 << hi_bits) + rng.integers(0, 500, k)
+        else:
+            v = rng.integers(0, 1 << hi_bits, k)
+        chunks.append(np.asarray(v, dtype=np.int64))
+    codec = get_codec(codec_name)
+    encs = [codec.encode(c) for c in chunks]
+    ns = np.array([len(c) for c in chunks], dtype=np.int64)
+    flat, offs = decode_batch_kernel(
+        [e.payload for e in encs],
+        [codec_name] * len(chunks),
+        np.array([e.bit_width for e in encs]),
+        np.array([e.min_val for e in encs]),
+        ns,
+    )
+    assert np.array_equal(flat, np.concatenate(chunks).astype(np.int32))
+
+
 @pytest.mark.parametrize("codec_name", ["split", "split3", "dict"])
 def test_grouped_path_single_codec_uniform_and_varied_widths(codec_name):
     """Same codec across all chunks but VARYING stream widths, so the

@@ -42,19 +42,22 @@ def decode_batch_kernel(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode a batch of chunks -> (flat int32 values, int64 offsets).
 
-    bitpack/for chunks whose length is a multiple of 8 are BYTE-ALIGNED
-    (n*w ≡ 0 mod 8), so all same-width chunks concatenate into one
-    continuous bit stream and decode in a single unpack call — the
-    per-chunk Python/numpy call overhead (which dominates on
-    4096-token chunks) is paid once per (codec, width) group instead
-    of once per chunk. Header-carrying codecs decode per chunk."""
+    ALL same-width bitpack/for chunks concatenate into one continuous
+    bit stream and decode in a single unpack call — the per-chunk
+    Python/numpy call overhead (which dominates on short doc-tail
+    chunks) is paid once per (codec, width) group instead of once per
+    chunk. Chunks whose length is a multiple of 8 are byte- AND
+    field-aligned as-is (n*w ≡ 0 mod 8); tail chunks are zero-extended
+    to the 8-field-padded size at join time (_gather_padded_streams
+    doc). Header-carrying codecs batch their streams the same way;
+    only fsst decodes per chunk (by measurement, see below)."""
     n_chunks = len(payloads)
     ns = np.asarray(ns, dtype=np.int64)
     offsets = np.concatenate(([0], np.cumsum(ns))).astype(np.int64)
     flat = np.empty(int(offsets[-1]), np.int32)
     codec_arr = np.asarray(codecs)
     done = np.zeros(n_chunks, dtype=bool)
-    groupable = (ns % 8 == 0) & (ns > 0)
+    groupable = ns > 0
     for name in ("bitpack", "for"):
         cand = np.flatnonzero((codec_arr == name) & groupable)
         if len(cand) == 0:
@@ -64,15 +67,19 @@ def decode_batch_kernel(
             if w in (8, 16, 32, 64):
                 continue  # memcpy-class per-chunk paths beat the join+scatter
             idx = cand[wsel == w]
-            buf = b"".join(payloads[i] for i in idx)
-            vals = unpack_bits_le(buf, int(w), int(ns[idx].sum())).astype(np.int64)
+            padn = (ns[idx] + 7) // 8 * 8
+            need = padn * int(w) // 8
+            buf = b"".join(
+                payloads[i].ljust(int(nb), b"\0") for i, nb in zip(idx, need)
+            )
+            vals = unpack_bits_le(buf, int(w), int(padn.sum())).astype(np.int64)
             if name == "for":
-                vals += np.repeat(np.asarray(mins)[idx], ns[idx])
+                vals += np.repeat(np.asarray(mins)[idx], padn)
             pos = 0
-            for i in idx:
+            for t, i in enumerate(idx):
                 k = int(ns[i])
                 flat[offsets[i] : offsets[i] + k] = vals[pos : pos + k]
-                pos += k
+                pos += int(padn[t])
             done[idx] = True
     # dict: batch BOTH streams across chunks. The n-value index stream
     # is byte-aligned for n%8==0 (one unpack per index width); the
@@ -80,7 +87,7 @@ def decode_batch_kernel(
     # _pack_padded) so same-width dictionaries also concatenate — one
     # unpack per dictionary width instead of one tiny unpack per chunk
     # (the tiny calls were the dominant cost: ~30 values each).
-    dcand = np.flatnonzero((codec_arr == "dict") & groupable)
+    dcand = np.flatnonzero((codec_arr == "dict") & (ns > 0))
     if len(dcand):
         from ..codecs import packed_size
         from ..codecs.simple import DictCodec, _pad8
@@ -107,18 +114,20 @@ def decode_batch_kernel(
             if w in (0, 8, 16, 32):
                 continue
             grp = np.flatnonzero(wi_arr == w)
+            padn = (ns[dcand[grp]] + 7) // 8 * 8
+            need = padn * int(w) // 8
             buf = b"".join(
                 payloads[dcand[j]][
                     dict_end[j] : dict_end[j] + packed_size(int(ns[dcand[j]]), int(w))
-                ]
-                for j in grp
+                ].ljust(int(nb), b"\0")
+                for j, nb in zip(grp, need)
             )
-            allidx = unpack_bits_le(buf, int(w), int(ns[dcand[grp]].sum()))
+            allidx = unpack_bits_le(buf, int(w), int(padn.sum()))
             pos = 0
-            for j in grp:
+            for t, j in enumerate(grp):
                 k = int(ns[dcand[j]])
                 idx_of[int(j)] = allidx[pos : pos + k]
-                pos += k
+                pos += int(padn[t])
         for j, i in enumerate(dcand):
             k = int(ns[i])
             uniq = dict_all[doffs[j] : doffs[j + 1]]
@@ -151,8 +160,8 @@ def decode_batch_kernel(
             done[grp] = True
 
     # pfor / pfor_ef: the dominant base stream is n fields at wb bits —
-    # already byte-aligned for n % 8 == 0, so it batches with NO format
-    # change; the (rare) exception patches stay per chunk.
+    # byte-padded, so it batches via the same zero-extend join; the
+    # (rare) exception patches stay per chunk.
     for name in ("pfor", "pfor_ef"):
         grp = np.flatnonzero((codec_arr == name) & groupable)
         if len(grp):
@@ -160,6 +169,15 @@ def decode_batch_kernel(
                 name, grp, payloads, np.asarray(mins), ns, offsets, flat
             )
             done[grp] = True
+
+    # rle: header-carrying, but both short streams (run values, run
+    # lengths) batch with the zero-extend join, and the run expansion
+    # is ONE group-global np.repeat (chunk-major stream order == output
+    # order) — instead of 2 unpacks + 1 repeat per chunk.
+    grp = np.flatnonzero((codec_arr == "rle") & groupable)
+    if len(grp):
+        _decode_rle_group(grp, payloads, np.asarray(mins), ns, offsets, flat)
+        done[grp] = True
 
     # fsst stays PER-CHUNK by measurement (r4, BENCH/KERNELS.md): a
     # grouped decoder with chunk-rank-keyed symbol tables lost 76ms vs
@@ -177,15 +195,26 @@ def decode_batch_kernel(
 
 
 def _gather_padded_streams(payloads, grp, starts, ends, widths_arr, counts, dest):
-    """Unpack same-width 8-field-padded sections in ONE call per
-    distinct width, then slice each chunk's fields (dropping its pad)
-    into ``dest`` (group order). ``starts``/``ends`` are per-group-index
-    byte ranges inside each payload."""
+    """Unpack same-width sections in ONE call per distinct width, then
+    slice each chunk's fields (dropping its pad) into ``dest`` (group
+    order). ``starts``/``ends`` are per-group-index byte ranges inside
+    each payload.
+
+    Sections may be 8-FIELD padded (their natural joined size) or
+    merely BYTE-padded (ceil(count*w/8) bytes — raw pack_bits_le
+    output, i.e. doc-tail chunks whose count is not a multiple of 8):
+    short sections are zero-extended to the 8-field-padded size at
+    join time, which keeps the joined buffer field-aligned throughout
+    (the pad fields decode to zeros and are dropped by the slicing)."""
     padded = (counts + 7) // 8 * 8
     dest_offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
     for w in np.unique(widths_arr):
         sel = np.flatnonzero(widths_arr == w)
-        buf = b"".join(payloads[grp[j]][starts[j] : ends[j]] for j in sel)
+        need = padded[sel] * int(w) // 8
+        buf = b"".join(
+            payloads[grp[j]][starts[j] : ends[j]].ljust(int(nb), b"\0")
+            for j, nb in zip(sel, need)
+        )
         if w == 1:
             vals = unpack_bits_u8(buf, int(padded[sel].sum()))
         else:
@@ -195,6 +224,38 @@ def _gather_padded_streams(payloads, grp, starts, ends, widths_arr, counts, dest
             k = int(counts[j])
             dest[dest_offs[j] : dest_offs[j] + k] = vals[pos : pos + k]
             pos += int(padded[j])
+
+
+def _decode_rle_group(grp, payloads, mins, ns, offsets, flat):
+    """Batched RLE decode. Streams are byte-padded per chunk
+    (codecs/simple.py RleCodec: header + run values at wv bits + run
+    lengths at wl bits), so the zero-extend join gathers each stream
+    kind in one unpack per distinct width; run expansion is one
+    group-global np.repeat. No width exclusion: run streams are short
+    (~n_runs fields), so per-call overhead dominates even at
+    memcpy-class widths."""
+    from ..codecs.simple import RleCodec
+
+    hdr = RleCodec._HDR
+    hsz = hdr.size
+    harr = np.array(
+        [hdr.unpack_from(payloads[i], 0) for i in grp], dtype=np.int64
+    )
+    n_runs, wvs, wls = harr[:, 0], harr[:, 1], harr[:, 2]
+    vend = hsz + (n_runs * wvs + 7) // 8
+    lend = vend + (n_runs * wls + 7) // 8
+    total_runs = int(n_runs.sum())
+    run_vals = np.empty(total_runs, np.int64)
+    run_lens = np.empty(total_runs, np.int64)
+    starts0 = np.full(len(grp), hsz, dtype=np.int64)
+    _gather_padded_streams(payloads, grp, starts0, vend, wvs, n_runs, run_vals)
+    _gather_padded_streams(payloads, grp, vend, lend, wls, n_runs, run_lens)
+    run_vals += np.repeat(mins[grp], n_runs)
+    run_lens += 1
+    out = np.repeat(run_vals.astype(np.int32), run_lens)
+    goff = np.concatenate(([0], np.cumsum(ns[grp]))).astype(np.int64)
+    for j, i in enumerate(grp):
+        flat[offsets[i] : offsets[i + 1]] = out[goff[j] : goff[j + 1]]
 
 
 def _decode_pfor_group(name, grp, payloads, mins, ns, offsets, flat):
@@ -217,7 +278,7 @@ def _decode_pfor_group(name, grp, payloads, mins, ns, offsets, flat):
     goff = np.concatenate(([0], np.cumsum(ns_g))).astype(np.int64)
 
     flat_g = np.empty(total, np.int32)
-    base_end = hsz + ns_g * wbs // 8  # byte-aligned: n % 8 == 0
+    base_end = hsz + (ns_g * wbs + 7) // 8  # byte-padded (tails included)
     _gather_padded_streams(
         payloads, grp, np.full(len(grp), hsz), base_end, wbs, ns_g, flat_g
     )

@@ -52,6 +52,44 @@ def test_dict_group_payloads_byte_identical():
     assert np.array_equal(flat, vals)
 
 
+def test_rle_group_payloads_byte_identical():
+    """The grouped rle encode (global change pass, reduceat widths,
+    padded-group packs sliced to byte padding) must emit payloads
+    byte-identical to per-chunk RleCodec.encode."""
+    from tokseq.codecs.simple import RLE
+
+    rng = np.random.default_rng(31)
+    chunks = []
+    for t in range(200):
+        n = int(rng.integers(1, 5000))
+        if t % 3 == 0 and n % 8 == 0:
+            n += 1  # force tail shapes too
+        n_r = max(1, n // int(rng.integers(2, 40)))
+        vals = rng.integers(0, 1 << int(rng.integers(1, 30)), n_r)
+        lens = rng.integers(1, 2 * max(1, n // n_r) + 1, n_r)
+        v = np.repeat(vals, lens)[:n]
+        if len(v) < n:
+            v = np.concatenate([v, np.full(n - len(v), vals[-1])])
+        chunks.append(v.astype(np.int32))
+    vals_, offs = _batch(chunks)
+    out = encode_batch_kernel(vals_, offs, enable_fsst=False)
+    n_rle = 0
+    for i, c in enumerate(chunks):
+        if out["codec"][i] != "rle":
+            continue
+        n_rle += 1
+        ref = RLE.encode(c)
+        assert out["payload"][i] == ref.payload
+        assert out["bit_width"][i] == ref.bit_width
+        assert out["min_val"][i] == ref.min_val
+    assert n_rle > 50  # the fuzz must actually exercise the group path
+    flat, _ = decode_batch_kernel(
+        out["payload"], out["codec"], out["bit_width"],
+        out["min_val"], out["n_values"],
+    )
+    assert np.array_equal(flat, vals_)
+
+
 def _phrase_chunks(rng, n_chunks, bank_size=100):
     """Phrases-like chunks: global phrase bank, zipf popularity —
     gram-rich data where per-chunk FSST tables beat shared ones."""

@@ -188,6 +188,62 @@ def _pack_padded_group(flat_vals, counts, widths):
     return sections
 
 
+def _encode_rle_group(values, offsets, grp, st, payloads, out_width, out_min):
+    """Batched RLE encode: one change-mask pass over the group's
+    gathered values (chunk starts forced to run starts, so no run ever
+    spans chunks and the global diff of run starts is each run's exact
+    length), run values/lengths extracted globally, per-chunk widths
+    via reduceat, then one pack per distinct width per stream via
+    _pack_padded_group (the payload keeps RleCodec's BYTE-padded
+    streams — the first packed_size bytes of each 8-field-padded
+    section are identical, since pad fields pack to zero bits).
+    Byte-identical to per-chunk RleCodec.encode (fuzz-tested). No
+    floor-fallback needed: the selector's rle estimate is a provable
+    upper bound (pessimistic max_run, chunk-range value width), so a
+    chunk picked as rle always beats the floor."""
+    from ..codecs.bitpack import bit_length as _bl
+    from ..codecs.bitpack import packed_size
+    from ..codecs.simple import RleCodec
+    from ..stats import _gather_segments
+
+    ns_g = st.n[grp].astype(np.int64)
+    big = _gather_segments(values, offsets[grp], ns_g)
+    m = len(big)
+    goff = np.concatenate(([0], np.cumsum(ns_g))).astype(np.int64)
+    change = np.empty(m, dtype=bool)
+    change[0] = True
+    np.not_equal(big[1:], big[:-1], out=change[1:])
+    change[goff[:-1]] = True
+    run_starts = np.flatnonzero(change)
+    run_vals = big[run_starts].astype(np.int64)
+    run_lens = np.empty(len(run_starts), dtype=np.int64)
+    if len(run_starts) > 1:
+        run_lens[:-1] = np.diff(run_starts)
+    run_lens[-1] = m - run_starts[-1]
+    cs = np.concatenate(([0], np.cumsum(change)))
+    n_runs = (cs[goff[1:]] - cs[goff[:-1]]).astype(np.int64)
+    roff = np.concatenate(([0], np.cumsum(n_runs))).astype(np.int64)
+    lo = np.minimum.reduceat(run_vals, roff[:-1])
+    hi = np.maximum.reduceat(run_vals, roff[:-1])
+    maxlen = np.maximum.reduceat(run_lens, roff[:-1])
+    wv = np.maximum(_bl(hi - lo), 1).astype(np.int64)
+    wl = np.maximum(_bl(maxlen - 1), 1).astype(np.int64)
+    run_vals -= np.repeat(lo, n_runs)
+    run_lens -= 1
+    vsec = _pack_padded_group(run_vals, n_runs, wv)
+    lsec = _pack_padded_group(run_lens, n_runs, wl)
+    hdr = RleCodec._HDR
+    for j, i in enumerate(grp):
+        k = int(n_runs[j])
+        payloads[i] = (
+            hdr.pack(k, int(wv[j]), int(wl[j]))
+            + vsec[j][: packed_size(k, int(wv[j]))]
+            + lsec[j][: packed_size(k, int(wl[j]))]
+        )
+        out_width[i] = wv[j]
+        out_min[i] = lo[j]
+
+
 def _encode_split_group(
     values, offsets, grp, st, sel, is3, payloads, out_width, out_min
 ):
@@ -377,22 +433,27 @@ def _encode_subbatch(
     bitpack = get_codec("bitpack")
     fsst_deferred: dict[int, list[tuple[int, int]]] = {}
 
-    # --- grouped fast path: bitpack/for chunks with n % 8 == 0 are
-    # byte-aligned (n*w ≡ 0 mod 8), so all same-width chunks pack as
+    # --- grouped fast path: ALL same-width bitpack/for chunks pack as
     # ONE continuous bit stream and split on byte boundaries — the
     # per-chunk pack-call overhead is paid once per (codec, width)
-    # group. Estimates for these two codecs are exact (== the payload
-    # size), so the floor fallback check is not needed; fsst
-    # candidates keep the per-chunk path (they need a budget baseline
-    # then a try-encode anyway).
+    # group. Chunks with n % 8 == 0 are byte-aligned as-is (n*w ≡ 0
+    # mod 8); doc-TAIL chunks are zero-padded to the next multiple of
+    # 8 fields before the pack, which leaves their own ceil(n*w/8)
+    # payload bytes IDENTICAL to a per-chunk pack (pack_bits_le
+    # zero-fills pad bits either way) — the decode-side mirror of this
+    # trick is _gather_padded_streams' zero-extend join. Estimates for
+    # these two codecs are exact (== the payload size), so the floor
+    # fallback check is not needed; fsst candidates keep the per-chunk
+    # path (they need a budget baseline then a try-encode anyway).
     from ..codecs.bitpack import bit_length as _bl
     from ..codecs.bitpack import pack_bits_le, packed_size
 
     name_arr = np.asarray(names)
     done = np.zeros(nseg, dtype=bool)
-    groupable = (st.n % 8 == 0) & (st.n > 0) & ~sel.fsst_candidate
+    groupable = (st.n > 0) & ~sel.fsst_candidate
     w_full = np.maximum(_bl(st.vmax), 1).astype(np.int32)
     w_for = np.maximum(_bl(st.vmax - st.vmin), 1).astype(np.int32)
+    zpad = np.zeros(7, dtype=values.dtype)
     for cname, wvec, use_min in (("bitpack", w_full, False), ("for", w_for, True)):
         cand = np.flatnonzero((name_arr == cname) & groupable)
         if len(cand) == 0:
@@ -400,23 +461,22 @@ def _encode_subbatch(
         wsel = wvec[cand]
         for w in np.unique(wsel):
             idx = cand[wsel == w]
-            if use_min:
-                big = np.concatenate(
-                    [
-                        values[offsets[i] : offsets[i + 1]] - st.vmin[i]
-                        for i in idx
-                    ]
-                )
-            else:
-                big = np.concatenate(
-                    [values[offsets[i] : offsets[i + 1]] for i in idx]
-                )
+            ns_i = st.n[idx]
+            padn = (ns_i + 7) // 8 * 8
+            parts = []
+            for t, i in enumerate(idx):
+                v = values[offsets[i] : offsets[i + 1]]
+                parts.append(v - st.vmin[i] if use_min else v)
+                p = int(padn[t] - ns_i[t])
+                if p:
+                    parts.append(zpad[:p])
+            big = np.concatenate(parts)
             buf = pack_bits_le(big, int(w))
             pos = 0
-            for i in idx:
-                nb = packed_size(int(st.n[i]), int(w))
+            for t, i in enumerate(idx):
+                nb = packed_size(int(ns_i[t]), int(w))
                 payloads[i] = buf[pos : pos + nb]
-                pos += nb
+                pos += int(padn[t]) * int(w) // 8
             out_width[idx] = w
             if use_min:
                 out_min[idx] = st.vmin[idx]
@@ -447,6 +507,13 @@ def _encode_subbatch(
     grp = np.flatnonzero((name_arr == "dict") & split_ok & ~done)
     if len(grp):
         _encode_dict_group(values, offsets, grp, st, payloads, out_width, out_min)
+        done[grp] = True
+
+    # --- grouped rle encode: one global change pass + one pack per
+    # distinct width per stream (see _encode_rle_group).
+    grp = np.flatnonzero((name_arr == "rle") & split_ok & ~done)
+    if len(grp):
+        _encode_rle_group(values, offsets, grp, st, payloads, out_width, out_min)
         done[grp] = True
 
     for i in range(nseg):

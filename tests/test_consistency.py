@@ -93,6 +93,63 @@ def test_hypothesis_roundtrip_all_codecs(vals):
         assert np.array_equal(out, v), name
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    shapes=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=300),  # chunk length
+            st.integers(min_value=0, max_value=5),    # regime
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_hypothesis_batch_kernel_roundtrip(shapes, seed):
+    """The BATCH kernels (grouped encode + grouped decode, including
+    the zero-extend tail paths) must roundtrip arbitrary chunk-length
+    mixes, and every emitted payload must decode with the codec's own
+    per-chunk decoder — batch/per-chunk format identity."""
+    from tokseq.engine.decode import decode_batch_kernel
+    from tokseq.engine.encode import encode_batch_kernel
+
+    rng = np.random.default_rng(seed)
+    chunks = []
+    for k, regime in shapes:
+        if regime == 0:
+            v = rng.integers(0, 4, k)
+        elif regime == 1:
+            v = 10**6 + rng.integers(0, 100, k)
+        elif regime == 2:
+            v = np.repeat(rng.integers(0, 256, k // 8 + 1), 8)[:k]
+        elif regime == 3:
+            v = rng.integers(0, 10**6, 8)[rng.integers(0, 8, k)]
+        elif regime == 4:
+            v = rng.integers(0, 64, k)
+            m = rng.random(k) < 0.3
+            v[m] = rng.integers(0, 1 << 20, int(m.sum()))
+        else:
+            v = rng.integers(0, 2**31 - 1, k)
+        chunks.append(np.asarray(v, dtype=np.int32))
+    values = np.concatenate(chunks)
+    offsets = np.concatenate(([0], np.cumsum([len(c) for c in chunks]))).astype(
+        np.int64
+    )
+    out = encode_batch_kernel(values, offsets)
+    flat, off2 = decode_batch_kernel(
+        out["payload"], out["codec"], out["bit_width"],
+        out["min_val"], out["n_values"],
+    )
+    assert np.array_equal(off2, offsets)
+    assert np.array_equal(flat, values)
+    for i, c in enumerate(chunks):
+        ref = get_codec(out["codec"][i]).decode(
+            out["payload"][i], len(c), int(out["bit_width"][i]),
+            int(out["min_val"][i]),
+        )
+        assert np.array_equal(ref, c), out["codec"][i]
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     vals=st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=512),

@@ -443,14 +443,15 @@ def _encode_subbatch(
     # zero-fills pad bits either way) — the decode-side mirror of this
     # trick is _gather_padded_streams' zero-extend join. Estimates for
     # these two codecs are exact (== the payload size), so the floor
-    # fallback check is not needed; fsst candidates keep the per-chunk
-    # path (they need a budget baseline then a try-encode anyway).
+    # fallback check is not needed. fsst candidates group too: their
+    # group-produced payload IS the try-encode budget for the fsst
+    # pass below the per-chunk loop.
     from ..codecs.bitpack import bit_length as _bl
     from ..codecs.bitpack import pack_bits_le, packed_size
 
     name_arr = np.asarray(names)
     done = np.zeros(nseg, dtype=bool)
-    groupable = (st.n > 0) & ~sel.fsst_candidate
+    groupable = st.n > 0
     w_full = np.maximum(_bl(st.vmax), 1).astype(np.int32)
     w_for = np.maximum(_bl(st.vmax - st.vmin), 1).astype(np.int32)
     zpad = np.zeros(7, dtype=values.dtype)
@@ -492,7 +493,7 @@ def _encode_subbatch(
     # as the bitpack/for group above).
     # (any n > 0 groups here: the primary mask is itself packed via the
     # padded-group path, so byte alignment is not required)
-    split_ok = (st.n > 0) & ~sel.fsst_candidate
+    split_ok = st.n > 0
     for cname, is3 in (("split", False), ("split3", True)):
         grp = np.flatnonzero((name_arr == cname) & split_ok & ~done)
         if len(grp):
@@ -540,7 +541,16 @@ def _encode_subbatch(
             # estimate was wrong (only possible for heuristic codecs):
             # fall back to the floor-exact bitpack
             name, enc = "bitpack", bitpack.encode(v)
-        if sel.fsst_candidate[i]:
+        payloads[i] = enc.payload
+        out_codec[i] = name
+        out_width[i] = enc.bit_width
+        out_min[i] = enc.min_val
+
+    # --- fsst try-encode pass over EVERY candidate: the incumbent
+    # payload (group-encoded or per-chunk) is the budget baseline.
+    if enable_fsst:
+        for i in np.flatnonzero(sel.fsst_candidate):
+            budget = len(payloads[i])
             bw = _byte_width(int(st.vmax[i] - st.vmin[i]))
             if shared_tables.get(bw) is not None:
                 # defer to the batched shared-table pass below (any
@@ -548,7 +558,7 @@ def _encode_subbatch(
                 # budget check keeps losers out); read mode shrinks
                 # the budget by the decode-cost margin
                 fsst_deferred.setdefault(bw, []).append(
-                    (i, _fsst_budget(len(enc.payload), name, workload))
+                    (i, _fsst_budget(budget, out_codec[i], workload))
                 )
             elif workload == "read":
                 # no table yet for this byte width (e.g. a regime whose
@@ -557,14 +567,15 @@ def _encode_subbatch(
                 # write-heavy sites keep only the amortized shared-
                 # table replaces — per-chunk learns are the most
                 # expensive encode step.
-                b_eff = _fsst_budget(len(enc.payload), name, workload)
-                fenc = fsst.encode(v, budget_bytes=b_eff)
+                b_eff = _fsst_budget(budget, out_codec[i], workload)
+                fenc = fsst.encode(
+                    values[offsets[i] : offsets[i + 1]], budget_bytes=b_eff
+                )
                 if fenc is not None and len(fenc.payload) < b_eff:
-                    name, enc = "fsst", fenc
-        payloads[i] = enc.payload
-        out_codec[i] = name
-        out_width[i] = enc.bit_width
-        out_min[i] = enc.min_val
+                    payloads[i] = fenc.payload
+                    out_codec[i] = "fsst"
+                    out_width[i] = fenc.bit_width
+                    out_min[i] = fenc.min_val
 
     # batched shared-table FSST try-encode: all deferred candidates of
     # one byte width replace in ONE pass per round (chunk-boundary

@@ -1,6 +1,8 @@
-"""Multimodal plumbing: schema, Arrow batch path, determinism.
-The media decode itself is a documented stub (libs not in container);
-what's under test is the production Spark-side path."""
+"""Multimodal: REAL pure-numpy decode for netpbm (P5/P6) images and
+PCM16 WAV audio, plus the Spark-side batch plumbing (schema, Arrow
+path, determinism). Compressed formats (JPEG/PNG/MP3/MP4) raise
+NotImplementedError naming the library to swap in — that stub
+contract is itself under test."""
 
 import numpy as np
 import pytest
@@ -8,19 +10,106 @@ import pytest
 from tokseq.multimodal import (
     FEATURE_DIM,
     _decode_payload,
+    _parse_pnm,
+    _parse_wav,
+    audio_frame_stats,
+    decode_media,
+    encode_pnm,
+    encode_wav,
     extract_features,
+    resize_images,
+    resize_nn,
     synth_media_table,
 )
 
 
-def test_synth_deterministic():
-    a, b = synth_media_table(32), synth_media_table(32)
-    assert a.equals(b)
+# ---------------------------------------------------------------- decode
 
 
-def test_decode_stub_rejects_garbage():
+def test_pnm_p6_golden():
+    """Hand-built 2x2 RGB P6 with a header comment decodes exactly."""
+    raster = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7])
+    payload = b"P6\n# a comment\n2 2\n255\n" + raster
+    px = _parse_pnm(payload)
+    assert px.shape == (2, 2, 3)
+    assert px[0, 0].tolist() == [255, 0, 0]
+    assert px[1, 1].tolist() == [9, 8, 7]
+
+
+def test_pnm_p5_roundtrip():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (7, 5), dtype=np.uint8)
+    assert np.array_equal(_parse_pnm(encode_pnm(px)), px)
+
+
+def test_pnm_p6_roundtrip():
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    assert np.array_equal(_parse_pnm(encode_pnm(px)), px)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    rng = np.random.default_rng(5)
+    s = rng.integers(-(1 << 15), 1 << 15, 777).astype("<i2")
+    payload = encode_wav(s, 8000)
+    out, sr = _parse_wav(payload)
+    assert sr == 8000
+    assert np.array_equal(out, s)
+    # insert a LIST metadata chunk BEFORE data: the chunk walk must skip it
+    import struct
+
+    fmt_end = payload.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    walked = payload[:fmt_end] + extra + payload[fmt_end:]
+    out2, sr2 = _parse_wav(walked)
+    assert sr2 == 8000 and np.array_equal(out2, s)
+
+
+def test_decode_rejects_garbage():
     with pytest.raises(ValueError):
         _decode_payload(b"NOTMAGIC123", "image")
+
+
+def test_compressed_formats_raise_not_implemented():
+    """The stub contract: recognized compressed magics name the
+    missing library instead of failing cryptically."""
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_media(b"\xff\xd8\xff\xe0rest-of-jpeg", "image")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_media(b"\x89PNG\r\n\x1a\n....", "image")
+
+
+def test_legacy_tsqm_blobs_still_decode():
+    body = bytes(range(64))
+    out = decode_media(b"TSQM" + body, "image")
+    assert np.array_equal(out, np.frombuffer(body, np.uint8))
+
+
+# ---------------------------------------------------------------- ops
+
+
+def test_resize_nn_golden():
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = resize_nn(px, 2, 2)
+    # rows 0,2 and cols 0,2 survive
+    assert np.array_equal(out, px[[0, 2]][:, [0, 2]])
+    up = resize_nn(px, 8, 8)
+    assert up.shape == (8, 8)
+    assert np.array_equal(up[::2][:, ::2], px)  # exact upsample grid
+
+
+def test_synth_deterministic_and_standard_formats():
+    a, b = synth_media_table(32), synth_media_table(32)
+    assert a.equals(b)
+    pays = a["payload"].to_pylist()
+    mods = a["modality"].to_pylist()
+    for p, m in zip(pays, mods):
+        if m == "image":
+            assert p[:2] in (b"P5", b"P6")
+            _parse_pnm(p)
+        else:
+            assert p[:4] == b"RIFF"
+            _parse_wav(p)
 
 
 def test_extract_features_spark(spark):
@@ -34,7 +123,55 @@ def test_extract_features_spark(spark):
     for r in rows:
         assert len(r["feature"]) == FEATURE_DIM
         assert all(0.0 <= v <= 1.0 for v in r["feature"])
-    # determinism + parity with the local stub
+    # determinism + parity with the local decode
     local = _decode_payload(table["payload"][0].as_py(), "image")
     got = np.array(by_id["item-000000"]["feature"], dtype=np.float32)
     assert np.allclose(got, local)
+
+
+def test_resize_images_spark(spark):
+    table = synth_media_table(32)
+    df = spark.createDataFrame(table.to_pandas())
+    out = resize_images(df, 8, 6).collect()
+    n_img = sum(1 for m in table["modality"].to_pylist() if m == "image")
+    assert len(out) == n_img
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 6)
+        px = _parse_pnm(bytes(r["payload"]))
+        assert px.shape[:2] == (6, 8)
+    # value check against a local resize of the same item
+    src = {i: p for i, p, m in zip(table["item_id"].to_pylist(),
+                                   table["payload"].to_pylist(),
+                                   table["modality"].to_pylist()) if m == "image"}
+    r0 = next(r for r in out if r["item_id"] == "item-000000")
+    expect = resize_nn(_parse_pnm(src["item-000000"]), 6, 8)
+    assert np.array_equal(_parse_pnm(bytes(r0["payload"])), expect)
+
+
+def test_audio_frame_stats_spark(spark):
+    table = synth_media_table(32)
+    df = spark.createDataFrame(table.to_pandas())
+    frame, hop = 128, 64
+    rows = audio_frame_stats(df, frame=frame, hop=hop).collect()
+    # expected frame count per audio item
+    expect = {}
+    for i, p, m in zip(table["item_id"].to_pylist(),
+                       table["payload"].to_pylist(),
+                       table["modality"].to_pylist()):
+        if m != "audio":
+            continue
+        n = len(_parse_wav(p)[0])
+        expect[i] = max(0, (n - frame) // hop + 1) if n >= frame else 0
+    got = {}
+    for r in rows:
+        got[r["item_id"]] = got.get(r["item_id"], 0) + 1
+        assert 0.0 <= r["rms"] <= 1.0
+        assert 0.0 <= r["zcr"] <= 1.0
+    assert got == {k: v for k, v in expect.items() if v}
+    # one value check: frame 0 RMS of the first audio item
+    p0 = next(p for p, m in zip(table["payload"].to_pylist(),
+                                table["modality"].to_pylist()) if m == "audio")
+    s = _parse_wav(p0)[0].astype(np.float64)[:frame]
+    want = np.sqrt((s * s).mean()) / 32768.0
+    r0 = next(r for r in rows if r["item_id"] == "item-000001" and r["frame_idx"] == 0)
+    assert abs(r0["rms"] - want) < 1e-6

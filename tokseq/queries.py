@@ -1684,13 +1684,14 @@ ORACLES["embedding_near_dup"] = ORACLE_NEAR_DUP
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal binary-column plumbing as a driver query: synthetic
-    media blobs (image/audio binary + typed metadata) -> mapInArrow
-    feature extraction (media decode STUBBED behind a deterministic
-    fake — image/audio libs are absent in this sandbox; the Spark-side
-    schema/batching/UDF plumbing is production-real) -> per-modality
-    integer aggregates. Rows-only: the fake decode is not
-    SQL-expressible. Deterministic (seeded blobs, integer norms)."""
+    """Multimodal binary columns as a driver query: synthetic media
+    blobs in REAL standard formats (netpbm P5/P6 images, PCM16 WAV
+    audio) -> mapInArrow feature extraction with REAL pure-numpy
+    decode (tokseq/multimodal.py; only compressed formats JPEG/MP3/
+    MP4 remain stubbed — their codecs are absent in this sandbox) ->
+    per-modality integer aggregates. Rows-only: binary-format parsing
+    is not SQL-expressible. Deterministic (seeded blobs, integer
+    norms)."""
     from .multimodal import extract_features, synth_media_table
 
     media = spark.createDataFrame(synth_media_table(128).to_pandas())
@@ -1709,7 +1710,36 @@ def q_multimodal_features(spark, sf_dir):
 
 
 QUERIES["multimodal_features"] = q_multimodal_features
-# rows-only: the stubbed media decode is not SQL-expressible
+# rows-only: binary media parsing is not SQL-expressible
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Media transform ops as a driver query: nearest-neighbor image
+    resize (decode P5/P6 -> resize -> re-encode) and audio frame
+    sampling (decode WAV -> strided RMS/zero-crossing frames), both
+    real distributed mapInArrow ops over the binary column. Returns
+    one summary row per op. Rows-only (binary parsing). Deterministic
+    (seeded blobs, integer-rounded aggregates)."""
+    from .multimodal import audio_frame_stats, resize_images, synth_media_table
+
+    media = spark.createDataFrame(synth_media_table(128).to_pandas())
+    resized = resize_images(media, 16, 12)
+    frames = audio_frame_stats(media, frame=128, hop=64)
+    r = resized.agg(
+        F.lit("resize").alias("op"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.length("payload")).cast("long").alias("metric"),
+    )
+    a = frames.agg(
+        F.lit("frames").alias("op"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum((F.round("rms", 4) * 10000).cast("long")).alias("metric"),
+    )
+    return r.unionByName(a)
+
+
+QUERIES["multimodal_frames"] = q_multimodal_frames
+# rows-only: binary media parsing is not SQL-expressible
 
 
 def q_vocab_topk(spark, sf_dir):

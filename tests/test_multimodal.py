@@ -65,6 +65,31 @@ def test_wav_roundtrip_and_chunk_walk():
     assert sr2 == 8000 and np.array_equal(out2, s)
 
 
+def test_wav_stereo_deinterleaves():
+    rng = np.random.default_rng(6)
+    s = rng.integers(-(1 << 15), 1 << 15, (300, 2)).astype("<i2")
+    out, sr = _parse_wav(encode_wav(s, 44100))
+    assert sr == 44100
+    assert out.shape == (300, 2)
+    assert np.array_equal(out, s)
+    # mono fold averages channels — never mixes them sample-to-sample
+    from tokseq.multimodal import _wav_mono
+
+    mono = _wav_mono(encode_wav(s, 44100))
+    assert np.allclose(mono, s.astype(np.float64).mean(axis=1))
+    # features still well-formed on stereo
+    f = _decode_payload(encode_wav(s, 44100), "audio")
+    assert len(f) == FEATURE_DIM and all(0.0 <= v <= 1.0 for v in f)
+
+
+def test_pnm_maxval_scaling():
+    """maxval < 255 is legal netpbm (maxval = white): samples must be
+    normalized to the 8-bit range, not read as near-black."""
+    payload = b"P5\n2 1\n15\n" + bytes([15, 0])
+    px = _parse_pnm(payload)
+    assert px.tolist() == [[255, 0]]
+
+
 def test_decode_rejects_garbage():
     with pytest.raises(ValueError):
         _decode_payload(b"NOTMAGIC123", "image")
@@ -77,6 +102,11 @@ def test_compressed_formats_raise_not_implemented():
         decode_media(b"\xff\xd8\xff\xe0rest-of-jpeg", "image")
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_media(b"\x89PNG\r\n\x1a\n....", "image")
+    # MP4 ftyp box of ANY size, and MPEG-2 MP3 frame sync
+    with pytest.raises(NotImplementedError, match="pyav"):
+        decode_media(b"\x00\x00\x00\x20ftypisom....", "video")
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_media(b"\xff\xf3\x40\xc0frame-data", "audio")
 
 
 def test_legacy_tsqm_blobs_still_decode():

@@ -87,7 +87,7 @@ def decode_batch_kernel(
     # _pack_padded) so same-width dictionaries also concatenate — one
     # unpack per dictionary width instead of one tiny unpack per chunk
     # (the tiny calls were the dominant cost: ~30 values each).
-    dcand = np.flatnonzero((codec_arr == "dict") & (ns > 0))
+    dcand = np.flatnonzero((codec_arr == "dict") & groupable)
     if len(dcand):
         from ..codecs import packed_size
         from ..codecs.simple import DictCodec, _pad8
@@ -152,7 +152,7 @@ def decode_batch_kernel(
     # (any n > 0 groups here: the primary mask's per-chunk byte padding
     # IS 8-field padding at width 1, so byte alignment is not required)
     for name in ("split", "split3"):
-        grp = np.flatnonzero((codec_arr == name) & (ns > 0))
+        grp = np.flatnonzero((codec_arr == name) & groupable)
         if len(grp):
             _decode_split_group(
                 name, grp, payloads, np.asarray(mins), ns, offsets, flat

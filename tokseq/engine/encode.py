@@ -493,9 +493,8 @@ def _encode_subbatch(
     # as the bitpack/for group above).
     # (any n > 0 groups here: the primary mask is itself packed via the
     # padded-group path, so byte alignment is not required)
-    split_ok = st.n > 0
     for cname, is3 in (("split", False), ("split3", True)):
-        grp = np.flatnonzero((name_arr == cname) & split_ok & ~done)
+        grp = np.flatnonzero((name_arr == cname) & groupable & ~done)
         if len(grp):
             _encode_split_group(
                 values, offsets, grp, st, sel, is3, payloads, out_width, out_min
@@ -505,14 +504,14 @@ def _encode_subbatch(
     # --- grouped dict encode: per-chunk codes (sort-free rank LUT for
     # small ranges), batched dictionary + index packs. dict's estimate
     # is exact, so no floor-fallback check is needed.
-    grp = np.flatnonzero((name_arr == "dict") & split_ok & ~done)
+    grp = np.flatnonzero((name_arr == "dict") & groupable & ~done)
     if len(grp):
         _encode_dict_group(values, offsets, grp, st, payloads, out_width, out_min)
         done[grp] = True
 
     # --- grouped rle encode: one global change pass + one pack per
     # distinct width per stream (see _encode_rle_group).
-    grp = np.flatnonzero((name_arr == "rle") & split_ok & ~done)
+    grp = np.flatnonzero((name_arr == "rle") & groupable & ~done)
     if len(grp):
         _encode_rle_group(values, offsets, grp, st, payloads, out_width, out_min)
         done[grp] = True

@@ -54,14 +54,26 @@ FRAMES_SCHEMA = "item_id string, frame_idx int, rms float, zcr float"
 
 _MAGIC = b"TSQM"  # legacy synthetic blobs (rounds 1-4)
 
-# compressed-format magics we RECOGNIZE but cannot decode in-sandbox
-_COMPRESSED_MAGICS = (
-    (b"\xff\xd8\xff", "JPEG (needs PIL)"),
-    (b"\x89PNG", "PNG (needs PIL)"),
-    (b"ID3", "MP3 (needs soundfile/av)"),
-    (b"\xff\xfb", "MP3 (needs soundfile/av)"),
-    (b"\x00\x00\x00\x18ftyp", "MP4 (needs pyav)"),
-)
+
+def _compressed_format(payload: bytes) -> str | None:
+    """Name the compressed format a payload starts with, or None.
+    Recognition must be broad (any ftyp box size, all MP3 frame-sync
+    variants): a recognized-but-undecodable format must raise
+    NotImplementedError naming the swap-in library, not a generic
+    bad-payload error."""
+    if payload[:3] == b"\xff\xd8\xff":
+        return "JPEG (needs PIL)"
+    if payload[:4] == b"\x89PNG":
+        return "PNG (needs PIL)"
+    if payload[:3] == b"ID3":
+        return "MP3 (needs soundfile/av)"
+    # MPEG audio frame sync: 11 set bits (0xFF then top 3 bits set)
+    if len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
+        return "MP3 (needs soundfile/av)"
+    # ISO BMFF: 'ftyp' box at offset 4, any box size
+    if payload[4:8] == b"ftyp":
+        return "MP4 (needs pyav)"
+    return None
 
 
 # ---------------------------------------------------------------- netpbm
@@ -93,12 +105,17 @@ def _parse_pnm(payload: bytes) -> np.ndarray:
             tokens.append(int(payload[i:j]))
             i = j
     w, h, maxval = tokens
-    if maxval > 255:
+    if maxval > 255 or maxval < 1:
         raise ValueError("only 8-bit netpbm supported")
     i += 1  # exactly ONE whitespace byte separates header from raster
     ch = 3 if magic == b"P6" else 1
     need = w * h * ch
     raster = np.frombuffer(payload, np.uint8, count=need, offset=i)
+    if maxval != 255:
+        # normalize to the full 8-bit range (maxval = white per the
+        # netpbm spec) so features and re-encoded payloads (maxval
+        # 255) keep their meaning
+        raster = (raster.astype(np.uint16) * 255 // maxval).astype(np.uint8)
     return raster.reshape((h, w, 3)) if ch == 3 else raster.reshape((h, w))
 
 
@@ -120,18 +137,20 @@ def encode_pnm(arr: np.ndarray) -> bytes:
 
 
 def _parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode RIFF/WAVE PCM16: returns (samples int16 — channels
-    interleaved as stored, sample_rate). Walks chunks so extra
-    metadata chunks (LIST etc.) before ``data`` are handled."""
+    """Decode RIFF/WAVE PCM16: returns (samples int16, sample_rate).
+    Mono returns shape (n,); multichannel returns (n_frames, n_ch) —
+    channels DE-interleaved so downstream math never mixes channels.
+    Walks chunks so extra metadata chunks (LIST etc.) before ``data``
+    are handled."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, sr, bits, data = 12, None, None, None
+    pos, sr, n_ch, data = 12, None, 1, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            fmt_tag, _n_ch, sr = struct.unpack_from("<HHI", body, 0)
+            fmt_tag, n_ch, sr = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
             if fmt_tag != 1 or bits != 16:
                 raise NotImplementedError(
@@ -143,13 +162,28 @@ def _parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sr is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    return np.frombuffer(data, dtype="<i2"), int(sr)
+    samples = np.frombuffer(data, dtype="<i2")
+    if n_ch > 1:
+        samples = samples[: len(samples) // n_ch * n_ch].reshape(-1, n_ch)
+    return samples, int(sr)
+
+
+def _wav_mono(payload: bytes) -> np.ndarray:
+    """PCM16 WAV -> mono float64 samples (multichannel averaged)."""
+    s, _ = _parse_wav(payload)
+    return s.mean(axis=1) if s.ndim == 2 else s.astype(np.float64)
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
-    """Minimal PCM16 mono WAV writer (inverse of :func:`_parse_wav`)."""
-    body = np.ascontiguousarray(samples, dtype="<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    """Minimal PCM16 WAV writer (inverse of :func:`_parse_wav`).
+    1-D input writes mono; (n_frames, n_ch) input interleaves."""
+    arr = np.ascontiguousarray(samples, dtype="<i2")
+    n_ch = 1 if arr.ndim == 1 else arr.shape[1]
+    body = arr.tobytes()  # C order == interleaved for (n, ch)
+    block = 2 * n_ch
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * block, block, 16
+    )
     chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(body)) + body
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
@@ -160,21 +194,22 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def decode_media(payload: bytes, modality: str) -> np.ndarray:
     """payload bytes -> sample array. REAL decode for P5/P6 images
-    ((h,w[,3]) uint8) and PCM16 WAV (int16); legacy TSQM fakes return
-    their body bytes; recognized compressed formats raise
-    NotImplementedError naming the library to swap in."""
+    ((h,w[,3]) uint8) and PCM16 WAV (int16, (n,) mono / (n,ch)
+    multichannel); legacy TSQM fakes return their body bytes;
+    recognized compressed formats raise NotImplementedError naming
+    the library to swap in."""
     if payload[:2] in (b"P5", b"P6"):
         return _parse_pnm(payload)
     if payload[:4] == b"RIFF":
         return _parse_wav(payload)[0]
     if payload[:4] == _MAGIC:
         return np.frombuffer(payload, np.uint8, offset=len(_MAGIC))
-    for magic, what in _COMPRESSED_MAGICS:
-        if payload.startswith(magic):
-            raise NotImplementedError(
-                f"{what} — absent in this container; swap this branch "
-                "of decode_media for the real decoder"
-            )
+    what = _compressed_format(payload)
+    if what is not None:
+        raise NotImplementedError(
+            f"{what} — absent in this container; swap this branch "
+            "of decode_media for the real decoder"
+        )
     raise ValueError("bad media payload (unknown magic)")
 
 
@@ -194,7 +229,7 @@ def _decode_payload(payload: bytes, modality: str) -> np.ndarray:
         hist = np.bincount((flat // (256 / k)).astype(np.int64), minlength=k)[:k]
         feats = [mean, std] + (hist / max(1, flat.size)).tolist()
     else:
-        s = raw.astype(np.float64)
+        s = raw.mean(axis=1) if raw.ndim == 2 else raw.astype(np.float64)
         rms = min(np.sqrt((s * s).mean()) / 32768.0, 1.0) if len(s) else 0.0
         zcr = float((np.signbit(s[1:]) != np.signbit(s[:-1])).mean()) if len(s) > 1 else 0.0
         a = np.abs(s)
@@ -329,7 +364,7 @@ def audio_frame_stats(media_df, frame: int = 256, hop: int = 128):
             for item, p in zip(
                 b.column("item_id").to_pylist(), b.column("payload").to_pylist()
             ):
-                s = _parse_wav(p)[0].astype(np.float64)
+                s = _wav_mono(p)
                 n_frames = max(0, (len(s) - frame) // hop + 1) if len(s) >= frame else 0
                 if n_frames:
                     idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]

@@ -178,6 +178,45 @@ def test_resize_images_spark(spark):
     assert np.array_equal(_parse_pnm(bytes(r0["payload"])), expect)
 
 
+def test_avi_container_roundtrip():
+    from tokseq.multimodal import _parse_avi_frames, encode_avi_mjpeg
+
+    frames = [b"\xff\xd8\xff" + bytes([i]) * (i + 1) for i in range(7)]
+    payload = encode_avi_mjpeg(frames, fps=24)
+    out = _parse_avi_frames(payload)
+    assert out == frames  # exact, odd sizes included (word-align pad)
+    # decode of an AVI names the sampling alternative
+    with pytest.raises(NotImplementedError, match="sample_video_frames"):
+        decode_media(payload, "video")
+
+
+def test_sample_video_frames_spark(spark):
+    from tokseq.multimodal import (
+        _parse_avi_frames,
+        sample_video_frames,
+        synth_video_table,
+    )
+
+    table = synth_video_table(12)
+    df = spark.createDataFrame(table.to_pandas())
+    rows = sample_video_frames(df, every_k=3).collect()
+    expect = {
+        i: len(range(0, n, 3))
+        for i, n in zip(table["item_id"].to_pylist(), table["n_frames"].to_pylist())
+    }
+    got = {}
+    for r in rows:
+        got[r["item_id"]] = got.get(r["item_id"], 0) + 1
+        assert r["frame_idx"] % 3 == 0
+        assert bytes(r["frame"])[:4] == b"\xff\xd8\xff\xe0"
+        assert r["frame_bytes"] == len(bytes(r["frame"]))
+    assert got == expect
+    # value check: frame 0 of item 0 matches a local container walk
+    local0 = _parse_avi_frames(table["payload"][0].as_py())[0]
+    r0 = next(r for r in rows if r["item_id"] == "vid-000000" and r["frame_idx"] == 0)
+    assert bytes(r0["frame"]) == local0
+
+
 def test_audio_frame_stats_spark(spark):
     table = synth_media_table(32)
     df = spark.createDataFrame(table.to_pandas())

@@ -201,6 +201,11 @@ def decode_media(payload: bytes, modality: str) -> np.ndarray:
     if payload[:2] in (b"P5", b"P6"):
         return _parse_pnm(payload)
     if payload[:4] == b"RIFF":
+        if payload[8:12] == b"AVI ":
+            raise NotImplementedError(
+                "AVI frame DECODE needs a JPEG codec (PIL) — frame "
+                "SAMPLING works without it: sample_video_frames"
+            )
         return _parse_wav(payload)[0]
     if payload[:4] == _MAGIC:
         return np.frombuffer(payload, np.uint8, offset=len(_MAGIC))
@@ -350,6 +355,110 @@ def resize_images(media_df, out_w: int, out_h: int):
 
     img = media_df.filter(media_df.modality == "image").select("item_id", "payload")
     return img.mapInArrow(_map, RESIZED_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = "item_id string, frame_idx int, frame binary, frame_bytes int"
+
+
+def encode_avi_mjpeg(frames: list[bytes], fps: int = 30) -> bytes:
+    """Minimal MJPEG-in-AVI writer: RIFF('AVI ') with a stub 'hdrl'
+    LIST (avih only) and a 'movi' LIST of '00dc' frame chunks. Enough
+    structure for any RIFF chunk walker; frames are stored verbatim."""
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(1, fps), 0, 0, 0, len(frames), 0, 1, 0, 0, 0, 0, 0, 0, 0,
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl"
+    hdrl += b"avih" + struct.pack("<I", len(avih)) + avih
+    movi_body = b"movi"
+    for f in frames:
+        movi_body += b"00dc" + struct.pack("<I", len(f)) + f
+        if len(f) & 1:
+            movi_body += b"\0"  # RIFF chunks are word-aligned
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _parse_avi_frames(payload: bytes) -> list[bytes]:
+    """Walk an AVI container and return the raw frame payloads
+    ('00dc'/'00db' chunks inside the 'movi' LIST) WITHOUT decoding
+    them — frame sampling never needs the codec."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            if cid == b"LIST":
+                walk(buf, pos + 12, pos + 8 + size)
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(buf[pos + 8 : pos + 8 + size])
+            pos += 8 + size + (size & 1)
+
+    walk(payload, 12, len(payload))
+    return frames
+
+
+def synth_video_table(n_items: int = 16, seed: int = 43) -> pa.Table:
+    """Deterministic AVI containers of fake-JPEG frames (JPEG magic +
+    seeded bytes — the codec is the stubbed part; the container is
+    real)."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, n_frames = [], [], []
+    for i in range(n_items):
+        k = int(rng.integers(4, 24))
+        frames = [
+            b"\xff\xd8\xff\xe0" + rng.integers(0, 256, int(rng.integers(64, 512)),
+                                               dtype=np.uint8).tobytes()
+            for _ in range(k)
+        ]
+        ids.append(f"vid-{i:06d}")
+        payloads.append(encode_avi_mjpeg(frames))
+        n_frames.append(k)
+    return pa.table(
+        {
+            "item_id": pa.array(ids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_frames": pa.array(n_frames, pa.int32()),
+        }
+    )
+
+
+def sample_video_frames(video_df, every_k: int = 4):
+    """Video rows -> every k-th frame as its own row (item_id,
+    frame_idx, frame binary, frame_bytes) via mapInArrow — real
+    container parsing, no codec needed. Feature extraction on the
+    sampled frames would chain extract_features-style once a JPEG
+    decoder is swapped in (decode_media names the spot)."""
+
+    def _map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids, fidx, blobs, sizes = [], [], [], []
+            for item, p in zip(
+                b.column("item_id").to_pylist(), b.column("payload").to_pylist()
+            ):
+                frames = _parse_avi_frames(p)
+                for j in range(0, len(frames), every_k):
+                    ids.append(item)
+                    fidx.append(j)
+                    blobs.append(frames[j])
+                    sizes.append(len(frames[j]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.string()),
+                    pa.array(fidx, pa.int32()),
+                    pa.array(blobs, pa.binary()),
+                    pa.array(sizes, pa.int32()),
+                ],
+                names=["item_id", "frame_idx", "frame", "frame_bytes"],
+            )
+
+    return video_df.select("item_id", "payload").mapInArrow(
+        _map, VIDEO_FRAMES_SCHEMA
+    )
 
 
 def audio_frame_stats(media_df, frame: int = 256, hop: int = 128):

@@ -1715,16 +1715,26 @@ QUERIES["multimodal_features"] = q_multimodal_features
 
 def q_multimodal_frames(spark, sf_dir):
     """Media transform ops as a driver query: nearest-neighbor image
-    resize (decode P5/P6 -> resize -> re-encode) and audio frame
-    sampling (decode WAV -> strided RMS/zero-crossing frames), both
-    real distributed mapInArrow ops over the binary column. Returns
-    one summary row per op. Rows-only (binary parsing). Deterministic
-    (seeded blobs, integer-rounded aggregates)."""
-    from .multimodal import audio_frame_stats, resize_images, synth_media_table
+    resize (decode P5/P6 -> resize -> re-encode), audio frame
+    sampling (decode WAV -> strided RMS/zero-crossing frames), and
+    video frame sampling (AVI container walk -> every 4th frame, no
+    codec needed) — all real distributed mapInArrow ops over binary
+    columns. Returns one summary row per op. Rows-only (binary
+    parsing). Deterministic (seeded blobs, integer-rounded
+    aggregates)."""
+    from .multimodal import (
+        audio_frame_stats,
+        resize_images,
+        sample_video_frames,
+        synth_media_table,
+        synth_video_table,
+    )
 
     media = spark.createDataFrame(synth_media_table(128).to_pandas())
+    video = spark.createDataFrame(synth_video_table(32).to_pandas())
     resized = resize_images(media, 16, 12)
     frames = audio_frame_stats(media, frame=128, hop=64)
+    vframes = sample_video_frames(video, every_k=4)
     r = resized.agg(
         F.lit("resize").alias("op"),
         F.count("*").cast("long").alias("n_rows"),
@@ -1735,7 +1745,12 @@ def q_multimodal_frames(spark, sf_dir):
         F.count("*").cast("long").alias("n_rows"),
         F.sum((F.round("rms", 4) * 10000).cast("long")).alias("metric"),
     )
-    return r.unionByName(a)
+    v = vframes.agg(
+        F.lit("video").alias("op"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("frame_bytes").cast("long").alias("metric"),
+    )
+    return r.unionByName(a).unionByName(v)
 
 
 QUERIES["multimodal_frames"] = q_multimodal_frames

@@ -190,6 +190,41 @@ def test_avi_container_roundtrip():
         decode_media(payload, "video")
 
 
+def test_avi_multistream_and_truncation():
+    import struct
+
+    from tokseq.multimodal import _parse_avi_frames, encode_avi_mjpeg
+
+    # interleave a second stream's chunks ('01dc') into movi: only
+    # stream 00 frames come back, in order
+    f0 = [b"\xff\xd8\xff" + bytes([i]) for i in range(4)]
+    payload = encode_avi_mjpeg(f0)
+    alien = b"01dc" + struct.pack("<I", 6) + b"other!"
+    movi_at = payload.index(b"movi")
+    # splice after the movi tag; grow the two enclosing size fields
+    spliced = payload[: movi_at + 4] + alien + payload[movi_at + 4 :]
+    spliced = bytearray(spliced)
+    (riff_sz,) = struct.unpack_from("<I", spliced, 4)
+    struct.pack_into("<I", spliced, 4, riff_sz + len(alien))
+    (list_sz,) = struct.unpack_from("<I", spliced, movi_at - 4)
+    struct.pack_into("<I", spliced, movi_at - 4, list_sz + len(alien))
+    assert _parse_avi_frames(bytes(spliced)) == f0
+    # truncated container raises instead of returning a short frame
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_avi_frames(payload[:-3])
+    # dc-suffixed chunk OUTSIDE movi is ignored (not a frame)
+    stray = b"00dc" + struct.pack("<I", 4) + b"nope"
+    with_stray = bytearray(payload + stray)
+    struct.pack_into("<I", with_stray, 4, riff_sz + len(stray))
+    assert _parse_avi_frames(bytes(with_stray)) == f0
+
+
+def test_pnm_maxval_rounds_to_nearest():
+    # 100/200 is exactly half: rounds to 128, not floor's 127
+    payload = b"P5\n3 1\n200\n" + bytes([100, 200, 199])
+    assert _parse_pnm(payload).tolist() == [[128, 255, 254]]
+
+
 def test_sample_video_frames_spark(spark):
     from tokseq.multimodal import (
         _parse_avi_frames,

@@ -113,9 +113,11 @@ def _parse_pnm(payload: bytes) -> np.ndarray:
     raster = np.frombuffer(payload, np.uint8, count=need, offset=i)
     if maxval != 255:
         # normalize to the full 8-bit range (maxval = white per the
-        # netpbm spec) so features and re-encoded payloads (maxval
-        # 255) keep their meaning
-        raster = (raster.astype(np.uint16) * 255 // maxval).astype(np.uint8)
+        # netpbm spec), round-to-nearest, so features and re-encoded
+        # payloads (maxval 255) keep their meaning
+        raster = (
+            (raster.astype(np.uint32) * 255 + maxval // 2) // maxval
+        ).astype(np.uint8)
     return raster.reshape((h, w, 3)) if ch == 3 else raster.reshape((h, w))
 
 
@@ -370,36 +372,54 @@ def encode_avi_mjpeg(frames: list[bytes], fps: int = 30) -> bytes:
     )
     hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl"
     hdrl += b"avih" + struct.pack("<I", len(avih)) + avih
-    movi_body = b"movi"
+    parts = [b"movi"]
     for f in frames:
-        movi_body += b"00dc" + struct.pack("<I", len(f)) + f
+        parts.append(b"00dc" + struct.pack("<I", len(f)) + f)
         if len(f) & 1:
-            movi_body += b"\0"  # RIFF chunks are word-aligned
+            parts.append(b"\0")  # RIFF chunks are word-aligned
+    movi_body = b"".join(parts)
     movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _parse_avi_frames(payload: bytes) -> list[bytes]:
-    """Walk an AVI container and return the raw frame payloads
-    ('00dc'/'00db' chunks inside the 'movi' LIST) WITHOUT decoding
-    them — frame sampling never needs the codec."""
+def _parse_avi_frame_spans(payload: bytes) -> list[tuple[int, int]]:
+    """Walk an AVI container and return (offset, size) spans of the
+    FIRST video stream's frame chunks ('NNdc'/'NNdb', lowest stream
+    number present) inside 'movi' LISTs — no frame bytes are copied,
+    so frame SAMPLING touches only the frames it keeps. Raises on a
+    truncated container (declared chunk size past end of buffer)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
-    frames: list[bytes] = []
+    by_stream: dict[bytes, list[tuple[int, int]]] = {}
 
-    def walk(buf: bytes, pos: int, end: int):
+    def walk(pos: int, end: int, in_movi: bool):
         while pos + 8 <= end:
-            cid = buf[pos : pos + 4]
-            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            if pos + 8 + size > len(payload):
+                raise ValueError("truncated AVI chunk")
             if cid == b"LIST":
-                walk(buf, pos + 12, pos + 8 + size)
-            elif cid[2:4] in (b"dc", b"db"):
-                frames.append(buf[pos + 8 : pos + 8 + size])
+                ltype = payload[pos + 8 : pos + 12]
+                walk(pos + 12, pos + 8 + size, in_movi or ltype == b"movi")
+            elif (
+                in_movi
+                and cid[2:4] in (b"dc", b"db")
+                and cid[:2].isdigit()
+            ):
+                by_stream.setdefault(cid[:2], []).append((pos + 8, size))
             pos += 8 + size + (size & 1)
 
-    walk(payload, 12, len(payload))
-    return frames
+    walk(12, len(payload), False)
+    if not by_stream:
+        return []
+    return by_stream[min(by_stream)]
+
+
+def _parse_avi_frames(payload: bytes) -> list[bytes]:
+    """All frame payloads of the first video stream (see
+    :func:`_parse_avi_frame_spans`)."""
+    return [payload[o : o + s] for o, s in _parse_avi_frame_spans(payload)]
 
 
 def synth_video_table(n_items: int = 16, seed: int = 43) -> pa.Table:
@@ -440,12 +460,15 @@ def sample_video_frames(video_df, every_k: int = 4):
             for item, p in zip(
                 b.column("item_id").to_pylist(), b.column("payload").to_pylist()
             ):
-                frames = _parse_avi_frames(p)
-                for j in range(0, len(frames), every_k):
+                spans = _parse_avi_frame_spans(p)
+                # slice ONLY the sampled frames — skipped frames are
+                # never copied out of the container
+                for j in range(0, len(spans), every_k):
+                    o, s = spans[j]
                     ids.append(item)
                     fidx.append(j)
-                    blobs.append(frames[j])
-                    sizes.append(len(frames[j]))
+                    blobs.append(p[o : o + s])
+                    sizes.append(s)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, pa.string()),

@@ -71,7 +71,9 @@ def test_batched_decode_matches_per_chunk_codec_decode():
         assert np.array_equal(ref, c), (i, out["codec"][i])
 
 
-@pytest.mark.parametrize("codec_name", ["bitpack", "for", "rle", "dict"])
+@pytest.mark.parametrize(
+    "codec_name", ["bitpack", "for", "rle", "dict", "pfor", "pfor_ef"]
+)
 def test_grouped_path_tail_chunks_zero_extend_join(codec_name):
     """Chunks whose length is NOT a multiple of 8 have byte-padded (not
     8-field-padded) streams; the batch decoder zero-extends each
@@ -96,6 +98,10 @@ def test_grouped_path_tail_chunks_zero_extend_join(codec_name):
                 v = np.concatenate([v, np.full(k - len(v), v[-1])])
         elif codec_name == "for":
             v = (1 << hi_bits) + rng.integers(0, 500, k)
+        elif codec_name in ("pfor", "pfor_ef"):
+            v = rng.integers(0, 64, k)
+            m = rng.random(k) < 0.03
+            v[m] = rng.integers(0, 1 << hi_bits, int(m.sum()))
         else:
             v = rng.integers(0, 1 << hi_bits, k)
         chunks.append(np.asarray(v, dtype=np.int64))

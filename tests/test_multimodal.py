@@ -90,6 +90,16 @@ def test_pnm_maxval_scaling():
     assert px.tolist() == [[255, 0]]
 
 
+def test_wav_truncation_raises_valueerror():
+    """Truncated WAV payloads must raise ValueError (parser contract),
+    never a raw struct.error — found by the malformed-input fuzz."""
+    rng = np.random.default_rng(9)
+    wav = encode_wav(rng.integers(-1000, 1000, 64).astype("<i2"), 8000)
+    for cut in range(12, len(wav), 5):
+        with pytest.raises(ValueError):
+            _parse_wav(wav[:cut])
+
+
 def test_decode_rejects_garbage():
     with pytest.raises(ValueError):
         _decode_payload(b"NOTMAGIC123", "image")

@@ -62,25 +62,19 @@ def decode_batch_kernel(
         cand = np.flatnonzero((codec_arr == name) & groupable)
         if len(cand) == 0:
             continue
-        wsel = np.asarray(widths)[cand]
-        for w in np.unique(wsel):
-            if w in (8, 16, 32, 64):
-                continue  # memcpy-class per-chunk paths beat the join+scatter
-            idx = cand[wsel == w]
-            padn = (ns[idx] + 7) // 8 * 8
-            need = padn * int(w) // 8
-            buf = b"".join(
-                payloads[i].ljust(int(nb), b"\0") for i, nb in zip(idx, need)
-            )
-            vals = unpack_bits_le(buf, int(w), int(padn.sum())).astype(np.int64)
-            if name == "for":
-                vals += np.repeat(np.asarray(mins)[idx], padn)
-            pos = 0
-            for t, i in enumerate(idx):
-                k = int(ns[i])
-                flat[offsets[i] : offsets[i] + k] = vals[pos : pos + k]
-                pos += int(padn[t])
-            done[idx] = True
+        wsel = np.asarray(widths)[cand].astype(np.int64)
+        # memcpy-class per-chunk paths beat the join+slice at 8/16/32/64
+        idx = cand[~np.isin(wsel, (8, 16, 32, 64))]
+        if len(idx) == 0:
+            continue
+        ws = np.asarray(widths)[idx].astype(np.int64)
+        zero = np.zeros(len(idx), dtype=np.int64)
+        _gather_padded_streams(
+            payloads, idx, zero, zero + (ns[idx] * ws + 7) // 8, ws, ns[idx],
+            flat, dest_offs=offsets[idx],
+            add=np.asarray(mins)[idx] if name == "for" else None,
+        )
+        done[idx] = True
     # dict: batch BOTH streams across chunks. The n-value index stream
     # is byte-aligned for n%8==0 (one unpack per index width); the
     # dictionary stream is 8-FIELD padded at encode (codecs/simple.py
@@ -107,27 +101,23 @@ def decode_batch_kernel(
         # int32 once here (token contract) -> every per-chunk gather
         # below writes int32 directly instead of casting 4M+ values
         dict_all = dict_all.astype(np.int32)
-        # index streams: one unpack per distinct wi (memcpy-class
-        # widths stay per-chunk: frombuffer views beat join+copy there)
+        # index streams: one unpack per distinct wi via the shared
+        # zero-extend gather (memcpy-class widths stay per-chunk:
+        # frombuffer views beat join+copy there)
         idx_of: dict[int, np.ndarray] = {}
-        for w in np.unique(wi_arr):
-            if w in (0, 8, 16, 32):
-                continue
-            grp = np.flatnonzero(wi_arr == w)
-            padn = (ns[dcand[grp]] + 7) // 8 * 8
-            need = padn * int(w) // 8
-            buf = b"".join(
-                payloads[dcand[j]][
-                    dict_end[j] : dict_end[j] + packed_size(int(ns[dcand[j]]), int(w))
-                ].ljust(int(nb), b"\0")
-                for j, nb in zip(grp, need)
+        sub = np.flatnonzero(~np.isin(wi_arr, (0, 8, 16, 32)))
+        if len(sub):
+            ns_sub = ns[dcand[sub]]
+            wi_sub = wi_arr[sub]
+            allidx = np.empty(int(ns_sub.sum()), np.int64)
+            _gather_padded_streams(
+                payloads, dcand[sub], dict_end[sub],
+                dict_end[sub] + (ns_sub * wi_sub + 7) // 8,
+                wi_sub, ns_sub, allidx,
             )
-            allidx = unpack_bits_le(buf, int(w), int(padn.sum()))
-            pos = 0
-            for t, j in enumerate(grp):
-                k = int(ns[dcand[j]])
-                idx_of[int(j)] = allidx[pos : pos + k]
-                pos += int(padn[t])
+            aoff = np.concatenate(([0], np.cumsum(ns_sub))).astype(np.int64)
+            for t, j in enumerate(sub):
+                idx_of[int(j)] = allidx[aoff[t] : aoff[t + 1]]
         for j, i in enumerate(dcand):
             k = int(ns[i])
             uniq = dict_all[doffs[j] : doffs[j + 1]]
@@ -194,20 +184,31 @@ def decode_batch_kernel(
     return flat, offsets
 
 
-def _gather_padded_streams(payloads, grp, starts, ends, widths_arr, counts, dest):
+def _gather_padded_streams(
+    payloads, grp, starts, ends, widths_arr, counts, dest,
+    dest_offs=None, add=None,
+):
     """Unpack same-width sections in ONE call per distinct width, then
-    slice each chunk's fields (dropping its pad) into ``dest`` (group
-    order). ``starts``/``ends`` are per-group-index byte ranges inside
-    each payload.
+    slice each chunk's fields (dropping its pad) into ``dest``.
+    ``starts``/``ends`` are per-group-index byte ranges inside each
+    payload. ``dest_offs`` overrides the default contiguous
+    group-order placement with explicit per-section target offsets
+    (e.g. final batch positions); ``add`` is an optional per-section
+    scalar added to the decoded fields (FoR minima), fused into the
+    single whole-group pass.
 
     Sections may be 8-FIELD padded (their natural joined size) or
     merely BYTE-padded (ceil(count*w/8) bytes — raw pack_bits_le
     output, i.e. doc-tail chunks whose count is not a multiple of 8):
     short sections are zero-extended to the 8-field-padded size at
     join time, which keeps the joined buffer field-aligned throughout
-    (the pad fields decode to zeros and are dropped by the slicing)."""
+    (the pad fields decode to zeros and are dropped by the slicing).
+    This is the ONE implementation of that invariant on the decode
+    side; the encode mirror is the zero-pad in _encode_subbatch's
+    bitpack/for group and _pack_padded_group."""
     padded = (counts + 7) // 8 * 8
-    dest_offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    if dest_offs is None:
+        dest_offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
     for w in np.unique(widths_arr):
         sel = np.flatnonzero(widths_arr == w)
         need = padded[sel] * int(w) // 8
@@ -219,6 +220,9 @@ def _gather_padded_streams(payloads, grp, starts, ends, widths_arr, counts, dest
             vals = unpack_bits_u8(buf, int(padded[sel].sum()))
         else:
             vals = unpack_bits_le(buf, int(w), int(padded[sel].sum()))
+        if add is not None:
+            vals = vals.astype(np.int64)
+            vals += np.repeat(np.asarray(add)[sel], padded[sel])
         pos = 0
         for j in sel:
             k = int(counts[j])

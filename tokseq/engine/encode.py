@@ -446,6 +446,11 @@ def _encode_subbatch(
     # fallback check is not needed. fsst candidates group too: their
     # group-produced payload IS the try-encode budget for the fsst
     # pass below the per-chunk loop.
+    # (deliberately NOT routed through _pack_padded_group: that helper
+    # scatters into an int64 zeros buffer — right for the short padded
+    # streams it serves, but 2x the memory traffic of this int32
+    # concat on the full token stream. Any change to the pad invariant
+    # must be mirrored in _pack_padded_group and the decode helper.)
     from ..codecs.bitpack import bit_length as _bl
     from ..codecs.bitpack import pack_bits_le, packed_size
 

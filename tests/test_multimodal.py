@@ -90,6 +90,21 @@ def test_pnm_maxval_scaling():
     assert px.tolist() == [[255, 0]]
 
 
+def test_wav_streaming_data_size_clamps():
+    """A pipe-written WAV marks an unknown data size with 0xFFFFFFFF:
+    the parser clamps to the available bytes instead of raising."""
+    import struct
+
+    rng = np.random.default_rng(10)
+    s = rng.integers(-1000, 1000, 48).astype("<i2")
+    wav = bytearray(encode_wav(s, 16000))
+    data_at = wav.index(b"data")
+    struct.pack_into("<I", wav, data_at + 4, 0xFFFFFFFF)
+    out, sr = _parse_wav(bytes(wav))
+    assert sr == 16000
+    assert np.array_equal(out, s)
+
+
 def test_wav_truncation_raises_valueerror():
     """Truncated WAV payloads must raise ValueError (parser contract),
     never a raw struct.error — found by the malformed-input fuzz."""

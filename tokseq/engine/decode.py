@@ -64,10 +64,11 @@ def decode_batch_kernel(
             continue
         wsel = np.asarray(widths)[cand].astype(np.int64)
         # memcpy-class per-chunk paths beat the join+slice at 8/16/32/64
-        idx = cand[~np.isin(wsel, (8, 16, 32, 64))]
+        keep = ~np.isin(wsel, (8, 16, 32, 64))
+        idx = cand[keep]
         if len(idx) == 0:
             continue
-        ws = np.asarray(widths)[idx].astype(np.int64)
+        ws = wsel[keep]
         zero = np.zeros(len(idx), dtype=np.int64)
         _gather_padded_streams(
             payloads, idx, zero, zero + (ns[idx] * ws + 7) // 8, ws, ns[idx],
@@ -91,13 +92,13 @@ def decode_batch_kernel(
         harr = np.array(hdrs, dtype=np.int64)
         cards, wds, wi_arr = harr[:, 0], harr[:, 1], harr[:, 2]
         dict_end = hsz + (cards + 7) // 8 * wds  # pad8(card)*wd/8 bytes
-        # dictionaries: one unpack per wd, mins folded in vectorized
+        # dictionaries: one unpack per wd, mins fused into the gather
         dict_all = np.empty(int(cards.sum()), np.int64)
         doffs = np.concatenate(([0], np.cumsum(cards))).astype(np.int64)
         _gather_padded_streams(
-            payloads, dcand, np.full(len(dcand), hsz), dict_end, wds, cards, dict_all
+            payloads, dcand, np.full(len(dcand), hsz), dict_end, wds, cards,
+            dict_all, add=np.asarray(mins)[dcand],
         )
-        dict_all += np.repeat(np.asarray(mins)[dcand], cards)
         # int32 once here (token contract) -> every per-chunk gather
         # below writes int32 directly instead of casting 4M+ values
         dict_all = dict_all.astype(np.int32)
@@ -252,9 +253,10 @@ def _decode_rle_group(grp, payloads, mins, ns, offsets, flat):
     run_vals = np.empty(total_runs, np.int64)
     run_lens = np.empty(total_runs, np.int64)
     starts0 = np.full(len(grp), hsz, dtype=np.int64)
-    _gather_padded_streams(payloads, grp, starts0, vend, wvs, n_runs, run_vals)
+    _gather_padded_streams(
+        payloads, grp, starts0, vend, wvs, n_runs, run_vals, add=mins[grp]
+    )
     _gather_padded_streams(payloads, grp, vend, lend, wls, n_runs, run_lens)
-    run_vals += np.repeat(mins[grp], n_runs)
     run_lens += 1
     out = np.repeat(run_vals.astype(np.int32), run_lens)
     goff = np.concatenate(([0], np.cumsum(ns[grp]))).astype(np.int64)

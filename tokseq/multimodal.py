@@ -150,6 +150,10 @@ def _parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if size == 0xFFFFFFFF and cid == b"data":
+            # streaming/pipe-written WAVs mark an unknown data size
+            # with 0xFFFFFFFF: clamp to the available bytes
+            size = len(payload) - pos - 8
         if pos + 8 + size > len(payload):
             raise ValueError("truncated WAV chunk")
         body = payload[pos + 8 : pos + 8 + size]

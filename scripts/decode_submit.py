@@ -32,17 +32,20 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from tokseq.engine import get_spark
-    from tokseq.engine.decode import decode_chunks, decode_docs
+    from tokseq.engine import EncodeJob, get_spark
+    from tokseq.engine.decode import decode_chunks
 
     spark = get_spark(cores=args.cores, app_name="tokseq-decode")
-    enc = spark.read.parquet(f"{args.input}/encoded")
+    # route through EncodeJob so the _tokseq_format.json marker guard
+    # applies: a pre-v2 store fails loudly here instead of decoding to
+    # silently wrong tokens (raw spark.read.parquet would bypass it)
+    job = EncodeJob(spark, args.input)
     if args.chunks:
         # chunk-granular output: dedup at-least-once appends explicitly
-        out = decode_chunks(enc.dropDuplicates(["doc_id", "chunk_idx"]))
+        out = decode_chunks(job.encoded().dropDuplicates(["doc_id", "chunk_idx"]))
     else:
         # one exchange of compressed bytes; dedups inline after the sort
-        out = decode_docs(enc)
+        out = job.decode()
     out.write.mode("overwrite").parquet(args.output)
 
     back = spark.read.parquet(args.output)

@@ -63,14 +63,49 @@ def _encoded_batch(doc_id, chunk_idx, tokens):
     )
 
 
-def test_stitch_carry_raises_before_concat(monkeypatch):
-    """A doc whose chunks ACCUMULATE past the cap across batches must
-    raise while carrying — before np.concatenate would materialize the
-    unrepresentable row."""
+def test_stitch_carry_raises_before_concat_strict(monkeypatch):
+    """In on_giant='error' mode, a doc whose chunks ACCUMULATE past the
+    cap across batches must raise while carrying — before
+    np.concatenate would materialize the unrepresentable row."""
     monkeypatch.setattr(dec, "_EMIT_CAP", 100)
     batches = [_encoded_batch("giant", i, np.arange(48) % 7) for i in range(4)]
     with pytest.raises(ValueError, match="overflows"):
-        list(dec._decode_stitch_map(iter(batches)))
+        list(dec._decode_stitch_map(iter(batches), strict=True))
+
+
+def test_stitch_giant_doc_splits_gracefully(monkeypatch):
+    """Default (split) mode, VERDICT r4 task 3: one over-cap doc
+    degrades to several consecutive same-doc_id segment rows — in
+    chunk order, each <= cap — while neighboring docs stitch normally
+    and the job stays alive."""
+    monkeypatch.setattr(dec, "_EMIT_CAP", 100)
+    batches = [_encoded_batch("aa-before", 0, np.arange(30))]
+    batches += [_encoded_batch("giant", i, np.arange(48) % 7) for i in range(4)]
+    batches += [_encoded_batch("zz-after", 0, np.arange(20) + 5)]
+    ids, toks = _collect(dec._decode_stitch_map(iter(batches)))
+    assert all(len(t) <= 100 for t in toks)
+    # neighbors: exactly one row each, exact content
+    assert ids.count("aa-before") == 1 and ids.count("zz-after") == 1
+    assert np.array_equal(toks[ids.index("aa-before")], np.arange(30))
+    assert np.array_equal(toks[ids.index("zz-after")], np.arange(20) + 5)
+    # giant: >1 consecutive segments that concatenate to the full doc
+    seg_pos = [k for k, i in enumerate(ids) if i == "giant"]
+    assert len(seg_pos) > 1
+    assert seg_pos == list(range(seg_pos[0], seg_pos[0] + len(seg_pos)))
+    whole = np.concatenate([np.asarray(toks[k]) for k in seg_pos])
+    assert np.array_equal(whole, np.concatenate([np.arange(48) % 7] * 4))
+
+
+def test_stitch_single_run_over_cap_splits(monkeypatch):
+    """A single decoded run larger than the cap splits inside
+    _carry_add (the while loop), not just at chunk boundaries."""
+    monkeypatch.setattr(dec, "_EMIT_CAP", 100)
+    ids, toks = _collect(
+        dec._decode_stitch_map(iter([_encoded_batch("mono", 0, np.arange(250) % 11)]))
+    )
+    assert ids == ["mono"] * 3 and [len(t) for t in toks] == [100, 100, 50]
+    assert np.array_equal(np.concatenate([np.asarray(t) for t in toks]),
+                          np.arange(250) % 11)
 
 
 def test_stitch_splits_output_batches(monkeypatch):

@@ -304,3 +304,55 @@ def test_audio_frame_stats_spark(spark):
     want = np.sqrt((s * s).mean()) / 32768.0
     r0 = next(r for r in rows if r["item_id"] == "item-000001" and r["frame_idx"] == 0)
     assert abs(r0["rms"] - want) < 1e-6
+
+
+def test_malformed_headers_raise_clean_errors():
+    """ADVICE r4 hardening: negative pnm dims, short rasters, odd WAV
+    data, and deeply nested AVI LISTs all raise clean ValueErrors
+    (never a leaked numpy shape error or executor RecursionError)."""
+    import struct
+
+    from tokseq.multimodal import _parse_avi_frame_spans, _parse_wav
+
+    # negative/zero dimensions must not flow into frombuffer(count<0)
+    for hdr in (b"P5\n-4 4\n255\n", b"P5\n4 -4\n255\n", b"P6\n0 3\n255\n"):
+        with pytest.raises(ValueError, match="dimensions"):
+            _parse_pnm(hdr + b"\x00" * 64)
+    # raster shorter than w*h*ch: explicit message, not numpy's
+    with pytest.raises(ValueError, match="truncated netpbm raster"):
+        _parse_pnm(b"P6\n10 10\n255\n" + b"\x00" * 10)
+
+    # odd-length PCM16 data chunk: clean error, not numpy's
+    # "buffer size must be a multiple of element size"
+    data = b"\x01\x02\x03"
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data + b"\x00")
+    wav_odd = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+    with pytest.raises(ValueError, match="odd byte count"):
+        _parse_wav(wav_odd)
+
+    # ~2000 nested LIST headers: the iterative walk returns normally
+    inner = b""
+    for _ in range(2000):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"xxxx" + inner
+    body = b"AVI " + inner
+    deep = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert _parse_avi_frame_spans(deep) == []
+
+
+def test_avi_iterative_walk_preserves_frame_order():
+    """Frames before/inside/after a nested LIST keep document order
+    through the stack-based walk."""
+    import struct
+
+    from tokseq.multimodal import _parse_avi_frame_spans
+
+    f = lambda b: b"00dc" + struct.pack("<I", len(b)) + b
+    rec = b"LIST" + struct.pack("<I", len(f(b"f2__")) + 4) + b"rec " + f(b"f2__")
+    movi_body = f(b"f1__") + rec + f(b"f3__")
+    movi = b"LIST" + struct.pack("<I", len(movi_body) + 4) + b"movi" + movi_body
+    body = b"AVI " + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = [avi[o:o + s] for o, s in _parse_avi_frame_spans(avi)]
+    assert got == [b"f1__", b"f2__", b"f3__"]

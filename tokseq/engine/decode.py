@@ -475,8 +475,9 @@ def reassemble_docs(decoded_df: DataFrame) -> DataFrame:
     cost of asking for whole documents; consumers that can stream
     should read (doc_id, chunk_idx, chunk_tokens) from decode_chunks
     directly and keep chunk granularity. Docs beyond 2^31-1 tokens
-    cannot be one list<int32> row at all — the stitcher raises a clear
-    error (_giant_doc_error) instead of overflowing Arrow offsets."""
+    cannot be one list<int32> row at all — the stitchers split them
+    into consecutive same-doc_id segment rows by default, or raise a
+    clear error (_giant_doc_error) in on_giant='error' mode."""
     return decoded_df.groupBy("doc_id").agg(
         F.flatten(
             F.transform(
@@ -501,6 +502,35 @@ def _giant_doc_error(doc_id, n_tok):
         "reassembly cannot represent it — consume this doc at chunk "
         "granularity instead (decode_chunks)."
     )
+
+
+def _carry_add(carry_id, carry_parts, carry_total, part, out_ids, out_toks,
+               strict):
+    """Append ``part`` to the doc carry. When the doc would exceed
+    _EMIT_CAP: strict mode raises (the r3 loud guard); split mode (the
+    default since r5) flushes the accumulated tokens as a finished
+    output ROW and keeps going — a >2^31-token doc emits as several
+    consecutive rows sharing its doc_id (each a cap-sized segment, in
+    chunk order) instead of poisoning the whole job. Returns the new
+    carry_total."""
+    if carry_total + len(part) > _EMIT_CAP:
+        if strict:
+            raise _giant_doc_error(carry_id, carry_total + len(part))
+        if carry_total:
+            out_ids.append(carry_id)
+            out_toks.append(
+                np.concatenate(carry_parts)
+                if len(carry_parts) > 1
+                else carry_parts[0]
+            )
+            carry_parts.clear()
+            carry_total = 0
+        while len(part) > _EMIT_CAP:  # one decoded run can itself exceed
+            out_ids.append(carry_id)
+            out_toks.append(part[:_EMIT_CAP])
+            part = part[_EMIT_CAP:]
+    carry_parts.append(part)
+    return carry_total + len(part)
 
 
 def _emit_doc_batches(doc_ids, token_arrays):
@@ -542,12 +572,14 @@ def _emit_one(doc_ids, token_arrays):
     )
 
 
-def _stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _stitch_map(
+    batches: Iterator[pa.RecordBatch], strict: bool = False
+) -> Iterator[pa.RecordBatch]:
     """Within one partition holding ALL chunks of its docs, sorted by
     (doc_id, chunk_idx): concatenate each doc's chunk arrays. Python
     work is O(docs) per batch; token movement is one flat copy. A doc's
     rows may straddle Arrow batches, so the trailing partial doc is
-    carried into the next batch."""
+    carried into the next batch. Giant-doc handling per _carry_add."""
     carry_id = None
     carry_parts: list[np.ndarray] = []
     carry_total = 0
@@ -566,12 +598,7 @@ def _stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             while j + 1 < n_rows and ids[j + 1] == ids[row]:
                 j += 1
             part = vals[offs[row] : offs[j + 1]]
-            if carry_id is not None and ids[row] == carry_id:
-                carry_parts.append(part)
-                carry_total += len(part)
-                if carry_total > _EMIT_CAP:  # fail BEFORE the giant concat
-                    raise _giant_doc_error(carry_id, carry_total)
-            else:
+            if not (carry_id is not None and ids[row] == carry_id):
                 if carry_id is not None:
                     out_ids.append(carry_id)
                     out_toks.append(
@@ -580,8 +607,12 @@ def _stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                         else carry_parts[0]
                     )
                 carry_id = ids[row]
-                carry_parts = [part]
-                carry_total = len(part)
+                carry_parts = []
+                carry_total = 0
+            carry_total = _carry_add(
+                carry_id, carry_parts, carry_total, part, out_ids, out_toks,
+                strict,
+            )
             row = j + 1
         if out_ids:
             yield from _emit_doc_batches(out_ids, out_toks)
@@ -603,26 +634,37 @@ def list_column_to_numpy_i32(arr) -> tuple[np.ndarray, np.ndarray]:
     return values, np.concatenate(([0], np.cumsum(lens)))
 
 
-def reassemble_docs_stitched(decoded_df: DataFrame) -> DataFrame:
+def reassemble_docs_stitched(
+    decoded_df: DataFrame, on_giant: str = "split"
+) -> DataFrame:
     """Same result as :func:`reassemble_docs` with the same SINGLE
     shuffle, but the per-doc assembly happens in an Arrow stitcher over
     partitions sorted by (doc_id, chunk_idx) — no collect_list object
-    churn, no array_sort; the JVM only hash-partitions rows. The giant
-    -doc caveat from reassemble_docs applies unchanged.
+    churn, no array_sort; the JVM only hash-partitions rows. Giant-doc
+    handling per ``on_giant`` (see :func:`decode_docs`).
 
     NOTE: prefer :func:`decode_docs` when starting from the ENCODED
     table — it shuffles compressed payloads (~0.95 B/token) instead of
     decoded int32 arrays and decodes inside the stitcher, one Arrow
     hop instead of three."""
+    strict = _strict_of(on_giant)
     rep = decoded_df.repartition("doc_id").sortWithinPartitions(
         "doc_id", "chunk_idx"
     )
     return rep.select("doc_id", "chunk_idx", "chunk_tokens").mapInArrow(
-        _stitch_map, "doc_id string, tokens array<int>"
+        lambda it: _stitch_map(it, strict), "doc_id string, tokens array<int>"
     )
 
 
-def _decode_stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _strict_of(on_giant: str) -> bool:
+    if on_giant not in ("split", "error"):
+        raise ValueError(f"on_giant must be 'split' or 'error', got {on_giant!r}")
+    return on_giant == "error"
+
+
+def _decode_stitch_map(
+    batches: Iterator[pa.RecordBatch], strict: bool = False
+) -> Iterator[pa.RecordBatch]:
     """Decode + stitch in one pass over partitions sorted by
     (doc_id, chunk_idx): the batched decode kernel expands payloads,
     then doc boundaries concatenate — the shuffle upstream carried
@@ -631,7 +673,8 @@ def _decode_stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
     At-least-once duplicate chunks (resume appends) are ADJACENT after
     the sort, so dedup happens inline — no dropDuplicates aggregate,
     no second exchange. Duplicate payloads are byte-identical by chunk
-    determinism, so keeping the first is exact."""
+    determinism, so keeping the first is exact. Giant-doc handling per
+    _carry_add (split rows by default, loud raise when strict)."""
     carry_id = None
     carry_last_cidx = -1
     carry_parts: list[np.ndarray] = []
@@ -669,13 +712,7 @@ def _decode_stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
                     if len(kept)
                     else vals[0:0]
                 )
-            if continuing:
-                if len(part):
-                    carry_parts.append(part)
-                    carry_total += len(part)
-                    if carry_total > _EMIT_CAP:  # before the giant concat
-                        raise _giant_doc_error(carry_id, carry_total)
-            else:
+            if not continuing:
                 if carry_id is not None:
                     out_ids.append(carry_id)
                     out_toks.append(
@@ -684,8 +721,13 @@ def _decode_stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
                         else carry_parts[0]
                     )
                 carry_id = ids[row]
-                carry_parts = [part]
-                carry_total = len(part)
+                carry_parts = []
+                carry_total = 0
+            if len(part) or not continuing:
+                carry_total = _carry_add(
+                    carry_id, carry_parts, carry_total, part,
+                    out_ids, out_toks, strict,
+                )
             carry_last_cidx = int(cidx[j])
             row = j + 1
         if out_ids:
@@ -697,7 +739,7 @@ def _decode_stitch_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordB
         )
 
 
-def decode_docs(encoded_df: DataFrame) -> DataFrame:
+def decode_docs(encoded_df: DataFrame, on_giant: str = "split") -> DataFrame:
     """Encoded table -> (doc_id, tokens) in ONE shuffle of COMPRESSED
     bytes: repartition the encoded chunks by doc_id (payloads are
     ~0.95 B/token vs 4 B/token decoded — the shuffle ships 4x less),
@@ -706,7 +748,16 @@ def decode_docs(encoded_df: DataFrame) -> DataFrame:
     deduped INLINE (adjacent after the sort), so no dropDuplicates
     aggregate or extra exchange is needed. Equals
     ``reassemble_docs(decode_chunks(df.dropDuplicates([doc_id,
-    chunk_idx])))`` row for row; same giant-doc caveat."""
+    chunk_idx])))`` row for row.
+
+    Docs beyond 2^31-1 tokens cannot be one list<int32> row (Arrow
+    int32 list offsets). ``on_giant='split'`` (default) degrades
+    gracefully: such a doc emits as several CONSECUTIVE rows sharing
+    its doc_id, each a cap-sized segment in chunk order — the rest of
+    the table decodes normally and a 100-TB job survives one
+    pathological doc. ``on_giant='error'`` keeps the r3 loud-raise
+    contract for pipelines that require doc_id uniqueness."""
+    strict = _strict_of(on_giant)
     cols = ["doc_id", "chunk_idx", "codec", "bit_width", "n_values",
             "min_val", "payload"]
     rep = (
@@ -714,4 +765,7 @@ def decode_docs(encoded_df: DataFrame) -> DataFrame:
         .repartition("doc_id")
         .sortWithinPartitions("doc_id", "chunk_idx")
     )
-    return rep.mapInArrow(_decode_stitch_map, "doc_id string, tokens array<int>")
+    return rep.mapInArrow(
+        lambda it: _decode_stitch_map(it, strict),
+        "doc_id string, tokens array<int>",
+    )

@@ -105,11 +105,17 @@ def _parse_pnm(payload: bytes) -> np.ndarray:
             tokens.append(int(payload[i:j]))
             i = j
     w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        # a negative header token would make `need` negative below and
+        # frombuffer(count<0) silently reads all remaining bytes
+        raise ValueError(f"bad netpbm dimensions {w}x{h}")
     if maxval > 255 or maxval < 1:
         raise ValueError("only 8-bit netpbm supported")
     i += 1  # exactly ONE whitespace byte separates header from raster
     ch = 3 if magic == b"P6" else 1
     need = w * h * ch
+    if len(payload) - i < need:
+        raise ValueError("truncated netpbm raster")
     raster = np.frombuffer(payload, np.uint8, count=need, offset=i)
     if maxval != 255:
         # normalize to the full 8-bit range (maxval = white per the
@@ -172,6 +178,8 @@ def _parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sr is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(data) % 2:
+        raise ValueError("truncated WAV data (odd byte count for PCM16)")
     samples = np.frombuffer(data, dtype="<i2")
     if n_ch > 1:
         samples = samples[: len(samples) // n_ch * n_ch].reshape(-1, n_ch)
@@ -401,7 +409,12 @@ def _parse_avi_frame_spans(payload: bytes) -> list[tuple[int, int]]:
         raise ValueError("not a RIFF/AVI payload")
     by_stream: dict[bytes, list[tuple[int, int]]] = {}
 
-    def walk(pos: int, end: int, in_movi: bool):
+    # iterative walk (explicit stack): a crafted container with ~1000
+    # nested LIST headers must produce a clean ValueError path, not a
+    # RecursionError on the executor
+    stack: list[tuple[int, int, bool]] = [(12, len(payload), False)]
+    while stack:
+        pos, end, in_movi = stack.pop()
         while pos + 8 <= end:
             cid = payload[pos : pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -409,7 +422,11 @@ def _parse_avi_frame_spans(payload: bytes) -> list[tuple[int, int]]:
                 raise ValueError("truncated AVI chunk")
             if cid == b"LIST":
                 ltype = payload[pos + 8 : pos + 12]
-                walk(pos + 12, pos + 8 + size, in_movi or ltype == b"movi")
+                # resume the current level after the LIST, then descend
+                stack.append((pos + 8 + size + (size & 1), end, in_movi))
+                pos, end = pos + 12, pos + 8 + size
+                in_movi = in_movi or ltype == b"movi"
+                continue
             elif (
                 in_movi
                 and cid[2:4] in (b"dc", b"db")
@@ -417,8 +434,6 @@ def _parse_avi_frame_spans(payload: bytes) -> list[tuple[int, int]]:
             ):
                 by_stream.setdefault(cid[:2], []).append((pos + 8, size))
             pos += 8 + size + (size & 1)
-
-    walk(12, len(payload), False)
     if not by_stream:
         return []
     return by_stream[min(by_stream)]

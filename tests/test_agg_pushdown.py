@@ -1,0 +1,180 @@
+"""Compressed-domain aggregate pushdown (engine/agg.py) must return
+EXACTLY the aggregates of the decoded tokens for every codec — the rle
+and dict paths compute from headers/short streams without full decode,
+so an off-by-one in run lengths or a bias slip would produce silently
+wrong sums that no roundtrip test catches.
+
+Spark-side: agg_tokens over the encoded store equals SQL aggregates
+over the decoded table, and count_tokens prunes the payload column out
+of the parquet scan.
+"""
+
+import numpy as np
+import pytest
+
+from tokseq.codecs import get_codec
+from tokseq.engine.agg import agg_batch_kernel
+from tokseq.engine.encode import encode_batch_kernel
+
+from tests.test_decode_batched import _mixed_chunks
+
+
+def _reference_aggs(chunks):
+    sums = np.array([int(c.sum()) for c in chunks], np.int64)
+    vmin = np.array([int(c.min()) if len(c) else 0 for c in chunks], np.int64)
+    vmax = np.array([int(c.max()) if len(c) else 0 for c in chunks], np.int64)
+    return sums, vmin, vmax
+
+
+def test_agg_kernel_matches_decode_on_mixed_fuzz():
+    rng = np.random.default_rng(7)
+    chunks = _mixed_chunks(rng, 90)
+    values = np.concatenate(chunks).astype(np.int32)
+    offsets = np.concatenate(([0], np.cumsum([len(c) for c in chunks]))).astype(
+        np.int64
+    )
+    out = encode_batch_kernel(values, offsets)
+    # the fuzz must exercise the two decode-skip paths
+    assert {"rle", "dict"} <= set(out["codec"]), set(out["codec"])
+    sums, vmin, vmax, valid = agg_batch_kernel(
+        out["payload"], out["codec"], out["bit_width"], out["min_val"],
+        out["n_values"],
+    )
+    ref_s, ref_min, ref_max = _reference_aggs(chunks)
+    assert valid.all()
+    assert np.array_equal(sums, ref_s)
+    assert np.array_equal(vmin, ref_min)
+    assert np.array_equal(vmax, ref_max)
+
+
+@pytest.mark.parametrize(
+    "codec_name",
+    ["bitpack", "for", "rle", "dict", "pfor", "pfor_ef", "split", "split3"],
+)
+def test_agg_kernel_per_codec_forced(codec_name):
+    """Each codec encoded directly (bypassing the selector), unaligned
+    lengths included, so every per-codec agg path is provably hit."""
+    rng = np.random.default_rng(13)
+    chunks = []
+    for t in range(40):
+        k = int(rng.integers(1, 900))
+        if t % 3 == 0 and k % 8 == 0:
+            k += 1  # force byte-padded (non-8-aligned) tails
+        hi_bits = int(rng.integers(3, 30))
+        if codec_name == "dict":
+            card = int(rng.integers(1, 40))
+            v = rng.integers(0, 1 << hi_bits, card)[rng.integers(0, card, k)]
+        elif codec_name == "rle":
+            v = np.repeat(
+                rng.integers(0, 1 << hi_bits, k // 9 + 1),
+                rng.integers(1, 18, k // 9 + 1),
+            )[:k]
+            if len(v) < k:
+                v = np.concatenate([v, np.full(k - len(v), v[-1])])
+        elif codec_name == "for":
+            v = (1 << hi_bits) + rng.integers(0, 500, k)
+        elif codec_name in ("pfor", "pfor_ef"):
+            v = rng.integers(0, 64, k)
+            m = rng.random(k) < 0.03
+            v[m] = rng.integers(0, 1 << hi_bits, int(m.sum()))
+        elif codec_name in ("split", "split3"):
+            v = rng.integers(0, 32, k)
+            m = rng.random(k) < 0.4
+            v[m] = rng.integers(0, 1 << hi_bits, int(m.sum()))
+        else:
+            v = rng.integers(0, 1 << hi_bits, k)
+        chunks.append(np.asarray(v, dtype=np.int64))
+    codec = get_codec(codec_name)
+    encs = [codec.encode(c) for c in chunks]
+    sums, vmin, vmax, valid = agg_batch_kernel(
+        [e.payload for e in encs],
+        [codec_name] * len(chunks),
+        np.array([e.bit_width for e in encs]),
+        np.array([e.min_val for e in encs]),
+        np.array([len(c) for c in chunks], dtype=np.int64),
+    )
+    ref_s, ref_min, ref_max = _reference_aggs(chunks)
+    assert valid.all()
+    assert np.array_equal(sums, ref_s), codec_name
+    assert np.array_equal(vmin, ref_min), codec_name
+    assert np.array_equal(vmax, ref_max), codec_name
+
+
+def test_agg_kernel_fsst_and_empty():
+    """fsst text-shaped chunks flow through the decode fallback; an
+    empty chunk is flagged invalid (null min/max upstream)."""
+    from tokseq.codecs.fsst import FsstCodec
+
+    rng = np.random.default_rng(5)
+    words = rng.integers(0, 200, 24)
+    c1 = words[rng.integers(0, 24, 501)].astype(np.int64)
+    enc = FsstCodec().encode(c1)
+    empty = get_codec("bitpack").encode(np.zeros(0, np.int64))
+    sums, vmin, vmax, valid = agg_batch_kernel(
+        [enc.payload, empty.payload],
+        ["fsst", "bitpack"],
+        np.array([enc.bit_width, empty.bit_width]),
+        np.array([enc.min_val, empty.min_val]),
+        np.array([len(c1), 0], dtype=np.int64),
+    )
+    assert valid.tolist() == [True, False]
+    assert sums[0] == c1.sum() and vmin[0] == c1.min() and vmax[0] == c1.max()
+    assert sums[1] == 0
+
+
+def test_agg_tokens_matches_decoded_sql(spark):
+    """End-to-end on Spark: exact per-source aggregates from the
+    ENCODED table equal aggregates of the decoded tokens."""
+    from pyspark.sql import functions as F
+
+    from tokseq.datagen import generate_corpus
+    from tokseq.engine.agg import agg_tokens, count_tokens
+    from tokseq.engine.chunk import plan_chunks
+    from tokseq.engine.decode import decode_chunks
+    from tokseq.engine.encode import encode_chunks
+
+    pdf = generate_corpus(scale=0.5, seed=21)
+    docs = spark.createDataFrame(pdf)
+    enc = encode_chunks(plan_chunks(docs, 256)).cache()
+    try:
+        got = {
+            r["source"]: r
+            for r in agg_tokens(enc, "source").collect()
+        }
+        want = {
+            r["source"]: r
+            for r in decode_chunks(enc)
+            .join(docs.select(F.col("doc_id"), "source"), "doc_id")
+            .select("source", F.explode("chunk_tokens").alias("t"))
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_tokens"),
+                F.sum("t").alias("sum_tokens"),
+                F.min("t").alias("min_token"),
+                F.max("t").alias("max_token"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for s in want:
+            for k in ("n_tokens", "sum_tokens", "min_token", "max_token"):
+                assert got[s][k] == want[s][k], (s, k)
+        # count-only path never reads payload bytes — provable only on
+        # a parquet-backed store (the ReadSchema shows the pruned scan)
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            enc.write.parquet(f"{d}/encoded")
+            back = spark.read.parquet(f"{d}/encoded")
+            assert count_tokens(back).collect()[0]["n_tokens"] == sum(
+                pdf["n_tok"].to_pylist()
+            )
+            plan = (
+                count_tokens(back)._jdf.queryExecution().executedPlan().toString()
+            )
+            read_schema = next(
+                line for line in plan.splitlines() if "ReadSchema" in line
+            )
+            assert "payload" not in read_schema, read_schema
+    finally:
+        enc.unpersist()

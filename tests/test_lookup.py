@@ -122,3 +122,37 @@ def test_zone_filter_min_val_bound_is_pushed_down(spark, corpus_df, tmp_path):
     enc = spark.read.parquet(job.encoded_path).filter(zone_filter(1_000_007))
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "LessThanOrEqual(min_val" in plan, plan[:800]
+
+
+def test_store_membership_sound_and_prunes(spark, corpus_df, tmp_path):
+    """VERDICT r4 task 6, store half: token_membership against the
+    MATERIALIZED store (EncodeJob write -> parquet read-back) equals a
+    full decode, and the chunks the selective decode touches are a
+    small fraction of the store (zone pruning survives the parquet
+    roundtrip of min_val/bit_width)."""
+    from tokseq.engine.decode import decode_chunks
+    from tokseq.engine.lookup import token_membership, zone_filter
+
+    out = str(tmp_path / "store")
+    job = EncodeJob(spark, out, chunk_width=CHUNK_W, n_buckets=8)
+    job.run(corpus_df)
+    enc = job.encoded()
+
+    probe = 1_000_007  # present only in the narrow-range regime's band
+    got = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in token_membership(enc, probe).collect()
+    }
+    want = {
+        (r["doc_id"], r["n"])
+        for r in decode_chunks(enc.dropDuplicates(["doc_id", "chunk_idx"]))
+        .select("doc_id", F.explode("chunk_tokens").alias("t"))
+        .filter(F.col("t") == probe)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    n_all = enc.count()
+    n_decoded = enc.filter(zone_filter(probe)).count()  # = chunks decoded
+    assert n_decoded < n_all // 2, (n_decoded, n_all)

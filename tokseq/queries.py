@@ -671,6 +671,67 @@ def q_engine_floor_totals(spark, sf_dir):
     )
 
 
+def q_engine_agg_pushdown(spark, sf_dir):
+    """Compressed-domain aggregate pushdown (engine/agg.py): exact
+    per-source (n_tokens, sum_tokens, min_token, max_token) answered
+    FROM THE ENCODED CHUNKS — rle from its run streams (O(runs)), dict
+    from the sorted dictionary + index histogram, every other codec
+    decoded to registers inside the kernel (no token arrays emitted,
+    nothing shuffles but four longs per source). The Spark analog of
+    the reference aggregating on packed data without unpacking
+    (popcount over the EF bitmap, /root/reference/src/
+    packed_ef_n_seq.rs:19-25). DuckDB recomputes the same aggregates
+    from raw text — a hash match proves the compressed-domain math for
+    whatever codec mix the selector actually chose."""
+    from .engine.agg import agg_tokens
+    from .engine.chunk import plan_chunks
+    from .engine.encode import encode_chunks
+
+    docs = tokenize_documents_md5(spark, sf_dir)
+    enc = encode_chunks(plan_chunks(docs, 4096))
+    return agg_tokens(enc, "source")
+
+
+ORACLE_AGG_PUSHDOWN = """
+WITH toks AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % 50257 AS tok
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents) t
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       CAST(MIN(tok) AS BIGINT) AS min_token,
+       CAST(MAX(tok) AS BIGINT) AS max_token
+FROM toks GROUP BY source
+"""
+
+
+def q_store_token_membership(spark, sf_dir):
+    """token_membership (zone-prune + selective decode) against the
+    MATERIALIZED encoded store: EncodeJob write -> parquet read-back,
+    so the zone predicate on (min_val, bit_width) is answered by
+    parquet row-group statistics BEFORE payload bytes leave storage —
+    the end-to-end path a user queries, where q_token_membership
+    covers the in-memory plan. Same raw-text oracle: a hash match
+    certifies prune soundness through the store roundtrip too."""
+    import os
+    import tempfile
+
+    from .engine import EncodeJob
+    from .engine.lookup import token_membership
+
+    docs = tokenize_documents_md5(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(tempfile.gettempdir(), f"tokseq_store_q_{tag}")
+    job = EncodeJob(spark, out_dir, chunk_width=4096)
+    job.run(docs=docs)
+    out = token_membership(job.encoded(), _PROBE_TOKEN)
+    return out.select(
+        F.col("doc_id").cast("int").alias("doc_id"), "n_occurrences"
+    )
+
+
 ORACLE_FLOOR_TOTALS = """
 WITH toks AS (
   SELECT doc_id, source,
@@ -716,6 +777,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_codec_summary": q_engine_codec_summary,
     "engine_floor_totals": q_engine_floor_totals,
     "token_membership": q_token_membership,
+    "engine_agg_pushdown": q_engine_agg_pushdown,
+    "store_token_membership": q_store_token_membership,
 }
 
 ORACLES: dict[str, str] = {
@@ -742,6 +805,10 @@ ORACLES: dict[str, str] = {
     "engine_floor_totals": ORACLE_FLOOR_TOTALS,
     # zone-map membership: engine prune+decode vs raw-text oracle
     "token_membership": ORACLE_TOKEN_MEMBERSHIP,
+    # aggregates answered IN the compressed domain vs raw-text oracle
+    "engine_agg_pushdown": ORACLE_AGG_PUSHDOWN,
+    # same membership oracle through the materialized store roundtrip
+    "store_token_membership": ORACLE_TOKEN_MEMBERSHIP,
     # engine_roundtrip / engine_codec_summary: rows-only (binary
     # codecs; the codec MIX is engine-specific by design)
 }

@@ -356,3 +356,43 @@ def test_avi_iterative_walk_preserves_frame_order():
     avi = b"RIFF" + struct.pack("<I", len(body)) + body
     got = [avi[o:o + s] for o, s in _parse_avi_frame_spans(avi)]
     assert got == [b"f1__", b"f2__", b"f3__"]
+
+
+def test_frozen_media_fixtures_in_sync():
+    """The committed fixtures (fixtures/media_*.parquet, the oracle
+    side of multimodal_features/multimodal_frames) must match what the
+    freeze script would produce from the current kernels — a kernel
+    change without regeneration fails HERE, not as a confusing driver
+    hash mismatch."""
+    import importlib
+    import sys
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "scripts"))
+    try:
+        freeze = importlib.import_module("freeze_media_fixtures")
+    finally:
+        sys.path.pop(0)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        orig = freeze.FIXDIR
+        freeze.FIXDIR = Path(d)
+        try:
+            freeze.main()
+        finally:
+            freeze.FIXDIR = orig
+        for name in (
+            "media_features.parquet",
+            "media_resize.parquet",
+            "media_audio_frames.parquet",
+            "media_video_frames.parquet",
+        ):
+            fresh = pq.read_table(Path(d) / name)
+            frozen = pq.read_table(repo / "fixtures" / name)
+            assert fresh.equals(frozen), f"{name} drifted — rerun " \
+                "scripts/freeze_media_fixtures.py and re-verify the oracles"

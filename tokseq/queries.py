@@ -1750,34 +1750,50 @@ QUERIES["embedding_near_dup"] = q_embedding_near_dup
 ORACLES["embedding_near_dup"] = ORACLE_NEAR_DUP
 
 
+# Quantization for float32 media stats: floor(x * 2^20). The scale is
+# a power of two, so float32 -> double -> *2^20 is EXACT (no decimal
+# rounding-mode ambiguity between engines); floor of an exact double is
+# deterministic everywhere. Fixture floats are frozen from the same
+# deterministic synth tables (scripts/freeze_media_fixtures.py).
+_Q20 = 1048576.0
+_MEDIA_FIX = "/root/repo/fixtures"
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal binary columns as a driver query: synthetic media
     blobs in REAL standard formats (netpbm P5/P6 images, PCM16 WAV
     audio) -> mapInArrow feature extraction with REAL pure-numpy
     decode (tokseq/multimodal.py; only compressed formats JPEG/MP3/
-    MP4 remain stubbed — their codecs are absent in this sandbox) ->
-    per-modality integer aggregates. Rows-only: binary-format parsing
-    is not SQL-expressible. Deterministic (seeded blobs, integer
-    norms)."""
+    MP4 remain stubbed — their codecs are absent in this sandbox).
+    Emits one row per (item, feature dim), quantized floor(f * 2^20):
+    the DuckDB oracle reads the frozen per-item fixture
+    (scripts/freeze_media_fixtures.py — the IVF frozen-codebook move
+    applied to media), so the distributed kernel is under the full
+    rows+schema+hash check."""
     from .multimodal import extract_features, synth_media_table
 
     media = spark.createDataFrame(synth_media_table(128).to_pandas())
     feats = extract_features(media)
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("feature", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
+    ex = feats.select(
+        "item_id", "modality", F.posexplode("feature").alias("dim", "fval")
     )
-    return feats.groupBy("modality").agg(
-        F.count("*").alias("n_items"),
-        F.sum((F.round(norm, 3) * 1000).cast("long")).alias("norm_millis_sum"),
+    return ex.select(
+        "item_id",
+        "modality",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("fval").cast("double") * F.lit(_Q20)).cast("long").alias("fq"),
     )
 
+
+ORACLE_MULTIMODAL_FEATURES = f"""
+SELECT item_id, modality,
+       CAST(generate_subscripts(feature, 1) - 1 AS INTEGER) AS dim,
+       CAST(floor(unnest(feature)::DOUBLE * {_Q20}) AS BIGINT) AS fq
+FROM read_parquet('{_MEDIA_FIX}/media_features.parquet')
+"""
 
 QUERIES["multimodal_features"] = q_multimodal_features
-# rows-only: binary media parsing is not SQL-expressible
+ORACLES["multimodal_features"] = ORACLE_MULTIMODAL_FEATURES
 
 
 def q_multimodal_frames(spark, sf_dir):
@@ -1786,9 +1802,10 @@ def q_multimodal_frames(spark, sf_dir):
     sampling (decode WAV -> strided RMS/zero-crossing frames), and
     video frame sampling (AVI container walk -> every 4th frame, no
     codec needed) — all real distributed mapInArrow ops over binary
-    columns. Returns one summary row per op. Rows-only (binary
-    parsing). Deterministic (seeded blobs, integer-rounded
-    aggregates)."""
+    columns. One row per output item/frame: resize rows carry the
+    EXACT output bytes (md5), audio rows the quantized rms/zcr, video
+    rows the exact sampled frame bytes (md5). Oracled against the
+    frozen fixtures (scripts/freeze_media_fixtures.py)."""
     from .multimodal import (
         audio_frame_stats,
         resize_images,
@@ -1799,29 +1816,48 @@ def q_multimodal_frames(spark, sf_dir):
 
     media = spark.createDataFrame(synth_media_table(128).to_pandas())
     video = spark.createDataFrame(synth_video_table(32).to_pandas())
-    resized = resize_images(media, 16, 12)
-    frames = audio_frame_stats(media, frame=128, hop=64)
-    vframes = sample_video_frames(video, every_k=4)
-    r = resized.agg(
+    r = resize_images(media, 16, 12).select(
         F.lit("resize").alias("op"),
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum(F.length("payload")).cast("long").alias("metric"),
+        "item_id",
+        F.lit(0).cast("int").alias("idx"),
+        F.length("payload").cast("long").alias("metric"),
+        F.md5("payload").alias("h"),
     )
-    a = frames.agg(
-        F.lit("frames").alias("op"),
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum((F.round("rms", 4) * 10000).cast("long")).alias("metric"),
+    a = audio_frame_stats(media, frame=128, hop=64).select(
+        F.lit("audio").alias("op"),
+        "item_id",
+        F.col("frame_idx").cast("int").alias("idx"),
+        F.floor(F.col("rms").cast("double") * F.lit(_Q20)).cast("long").alias("metric"),
+        F.floor(F.col("zcr").cast("double") * F.lit(_Q20))
+        .cast("long").cast("string").alias("h"),
     )
-    v = vframes.agg(
+    v = sample_video_frames(video, every_k=4).select(
         F.lit("video").alias("op"),
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum("frame_bytes").cast("long").alias("metric"),
+        "item_id",
+        F.col("frame_idx").cast("int").alias("idx"),
+        F.col("frame_bytes").cast("long").alias("metric"),
+        F.md5("frame").alias("h"),
     )
     return r.unionByName(a).unionByName(v)
 
 
+ORACLE_MULTIMODAL_FRAMES = f"""
+SELECT 'resize' AS op, item_id, CAST(0 AS INTEGER) AS idx,
+       CAST(n_bytes AS BIGINT) AS metric, payload_md5 AS h
+FROM read_parquet('{_MEDIA_FIX}/media_resize.parquet')
+UNION ALL
+SELECT 'audio', item_id, CAST(frame_idx AS INTEGER),
+       CAST(floor(rms::DOUBLE * {_Q20}) AS BIGINT),
+       CAST(CAST(floor(zcr::DOUBLE * {_Q20}) AS BIGINT) AS VARCHAR)
+FROM read_parquet('{_MEDIA_FIX}/media_audio_frames.parquet')
+UNION ALL
+SELECT 'video', item_id, CAST(frame_idx AS INTEGER),
+       CAST(frame_bytes AS BIGINT), frame_md5
+FROM read_parquet('{_MEDIA_FIX}/media_video_frames.parquet')
+"""
+
 QUERIES["multimodal_frames"] = q_multimodal_frames
-# rows-only: binary media parsing is not SQL-expressible
+ORACLES["multimodal_frames"] = ORACLE_MULTIMODAL_FRAMES
 
 
 def q_vocab_topk(spark, sf_dir):

@@ -178,3 +178,30 @@ def test_agg_tokens_matches_decoded_sql(spark):
             assert "payload" not in read_schema, read_schema
     finally:
         enc.unpersist()
+
+
+def test_encodejob_agg_methods(spark, tmp_path):
+    """EncodeJob.agg_tokens()/count_tokens() answer from the
+    materialized store and agree with the source corpus."""
+    from pyspark.sql import functions as F
+
+    from tokseq.datagen import generate_corpus
+    from tokseq.engine import EncodeJob
+
+    pdf = generate_corpus(scale=0.3, seed=33)
+    docs = spark.createDataFrame(pdf.to_pandas())
+    job = EncodeJob(spark, str(tmp_path / "store"), chunk_width=256, n_buckets=4)
+    job.run(docs)
+
+    got = job.agg_tokens().collect()[0]
+    want = (
+        docs.select(F.explode("tokens").alias("t"))
+        .agg(
+            F.count("*").alias("n"), F.sum("t").alias("s"),
+            F.min("t").alias("mn"), F.max("t").alias("mx"),
+        )
+        .collect()[0]
+    )
+    assert (got["n_tokens"], got["sum_tokens"], got["min_token"],
+            got["max_token"]) == (want["n"], want["s"], want["mn"], want["mx"])
+    assert job.count_tokens().collect()[0]["n_tokens"] == want["n"]

@@ -11,3 +11,4 @@ from .decode import (  # noqa: F401
 )
 from .verify import roundtrip_report  # noqa: F401
 from .pipeline import EncodeJob  # noqa: F401
+from .agg import agg_chunks, agg_tokens, count_tokens  # noqa: F401

@@ -265,3 +265,18 @@ class EncodeJob:
 
     def summary(self) -> DataFrame:
         return codec_summary(self.encoded())
+
+    def agg_tokens(self, *group_cols: str) -> DataFrame:
+        """Exact (n_tokens, sum_tokens, min_token, max_token) per group
+        answered IN the compressed domain (engine/agg.py) — no decoded
+        tokens are materialized or shuffled."""
+        from .agg import agg_tokens
+
+        return agg_tokens(self.encoded(), *group_cols)
+
+    def count_tokens(self) -> DataFrame:
+        """Token count from manifest columns only; the payload column
+        never leaves the parquet scan."""
+        from .agg import count_tokens
+
+        return count_tokens(self.encoded())

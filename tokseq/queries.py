@@ -1890,3 +1890,62 @@ SELECT rank, w, n FROM ranked WHERE rank <= 50
 
 QUERIES["vocab_topk"] = q_vocab_topk
 ORACLES["vocab_topk"] = ORACLE_VOCAB
+
+
+def q_bpe_merge_mining(spark, sf_dir):
+    """Distributed BPE merge-candidate mining (the counting step of a
+    byte-pair-encoding vocabulary round, applied at token level): the
+    top-20 most frequent ADJACENT token pairs across the corpus, rank
+    deterministic (count desc, pair asc). The pair stream is built
+    declaratively (slice+zip, no UDF), so the count is map-side
+    combinable, and the rank<=k filter is rewritten by Catalyst
+    (LimitPushDownThroughWindow) into TakeOrderedAndProject(limit=20)
+    BELOW the window — per-partition top-k then a 20-row merge, never
+    a single-partition sort of the pair table (verified on the
+    physical plan). At 100 TB: one shuffle keyed on (t1, t2) with
+    partial aggregation; only 20 rows cross the final exchange."""
+    docs = tokenize_documents_md5(spark, sf_dir)
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(tokens, 1, size(tokens) - 1)"),
+                F.expr("slice(tokens, 2, size(tokens) - 1)"),
+            )
+        ).alias("p")
+    ).select(
+        F.col("p").getField("0").alias("t1"),
+        F.col("p").getField("1").alias("t2"),
+    )
+    counts = pairs.groupBy("t1", "t2").agg(F.count("*").alias("n"))
+    wnd = Window.orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "t1", "t2", "n")
+    )
+
+
+ORACLE_BPE_MERGE = """
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         CAST(('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT
+           % 50257 AS INTEGER) AS tok
+  FROM documents
+), pairs AS (
+  SELECT tok AS t1,
+         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM toks
+), counts AS (
+  SELECT t1, t2, COUNT(*) AS n FROM pairs WHERE t2 IS NOT NULL GROUP BY t1, t2
+), ranked AS (
+  SELECT t1, t2, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, t1 ASC, t2 ASC) AS rank
+  FROM counts
+)
+SELECT CAST(rank AS INTEGER) AS rank, t1, t2, CAST(n AS BIGINT) AS n
+FROM ranked WHERE rank <= 20
+"""
+
+QUERIES["bpe_merge_mining"] = q_bpe_merge_mining
+ORACLES["bpe_merge_mining"] = ORACLE_BPE_MERGE

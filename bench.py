@@ -417,6 +417,9 @@ def main() -> None:
     # protocol the scaling levels use, triggered by the same kind of
     # cross-round face-value jump that r3->r4 left unadjudicated.
     write_retried = False
+    write_firstpass = hi["encode_write_sec"]  # pre-retry wall, always
+    # recorded so the one-sided rerun-when-slow rule stays visible in
+    # the artifact (same reasoning as scaling_efficiency_firstpass)
     prior_write = _prior_round_wall(f"encode_write_local{cpus}")
     if prior_write and hi["encode_write_sec"] > 1.5 * prior_write:
         hi2 = run_level(cpus, corpus, do_write=True)
@@ -472,6 +475,7 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_firstpass": round(eff_firstpass, 3),
         "encode_write_retried": write_retried,
+        "encode_write_firstpass_sec": round(write_firstpass, 3),
         "scaling_efficiency_saturated": round(eff_sat, 3),
         "control_efficiency_saturated": round(ctl_eff_sat, 3),
         "scaling_vs_control_saturated": round(min(eff_sat / ctl_eff_sat, 1.5), 3)

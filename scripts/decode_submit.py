@@ -27,6 +27,11 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--chunks", action="store_true",
                     help="emit chunk rows instead of reassembled docs")
+    ap.add_argument("--on-giant", choices=("split", "error"), default="split",
+                    help="docs over 2^31 tokens: 'split' (default) emits "
+                         "consecutive same-doc_id segment rows; 'error' "
+                         "restores the loud raise (guaranteed doc_id "
+                         "uniqueness for consumers that key on it)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -45,7 +50,9 @@ def main() -> None:
         out = decode_chunks(job.encoded().dropDuplicates(["doc_id", "chunk_idx"]))
     else:
         # one exchange of compressed bytes; dedups inline after the sort
-        out = job.decode()
+        from tokseq.engine.decode import decode_docs
+
+        out = decode_docs(job.encoded(), on_giant=args.on_giant)
     out.write.mode("overwrite").parquet(args.output)
 
     back = spark.read.parquet(args.output)

@@ -25,6 +25,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from tokseq.multimodal import (  # noqa: E402
+    MEDIA_FIXTURE_PARAMS,
     _decode_payload,
     _parse_avi_frame_spans,
     _parse_pnm,
@@ -37,11 +38,13 @@ from tokseq.multimodal import (  # noqa: E402
 
 FIXDIR = Path(__file__).resolve().parent.parent / "fixtures"
 
-# must mirror q_multimodal_features / q_multimodal_frames exactly
-N_MEDIA, N_VIDEO = 128, 32
-RESIZE_W, RESIZE_H = 16, 12
-AUDIO_FRAME, AUDIO_HOP = 128, 64
-VIDEO_EVERY_K = 4
+# shared with q_multimodal_features / q_multimodal_frames by
+# construction — both sides read tokseq.multimodal.MEDIA_FIXTURE_PARAMS
+_P = MEDIA_FIXTURE_PARAMS
+N_MEDIA, N_VIDEO = _P["n_media"], _P["n_video"]
+RESIZE_W, RESIZE_H = _P["resize_w"], _P["resize_h"]
+AUDIO_FRAME, AUDIO_HOP = _P["frame"], _P["hop"]
+VIDEO_EVERY_K = _P["every_k"]
 
 
 def main() -> None:

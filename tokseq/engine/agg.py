@@ -11,7 +11,9 @@ token-array materialization, no reassembly shuffle) where it doesn't.
 Cost ladder, cheapest first:
 
   count           SQL over ``n_values`` — never touches payload bytes;
-                  parquet column pruning skips them (count_tokens).
+                  parquet column pruning skips them (count_tokens; the
+                  EncodeJob method reads the already-deduped chunk
+                  manifest, skipping even the chunk-key dedup).
   min/max bounds  SQL over the zone map [min_val, min_val + 2^w) —
                   same, payload never read (engine/lookup.py).
   exact agg       ``agg_chunks``: one mapInArrow pass emitting ONE
@@ -42,13 +44,14 @@ from pyspark.sql import functions as F
 from .decode import _gather_padded_streams, decode_batch_kernel
 
 AGG_CHUNK_SCHEMA = (
-    "doc_id string, source string, n_values long, sum_val long, "
-    "min_val long, max_val long"
+    "doc_id string, chunk_idx int, source string, n_values long, "
+    "sum_val long, min_val long, max_val long"
 )
 
 _AGG_PA_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
+        ("chunk_idx", pa.int32()),
         ("source", pa.string()),
         ("n_values", pa.int64()),
         ("sum_val", pa.int64()),
@@ -139,20 +142,40 @@ def agg_batch_kernel(
         )
         vmin[grp] = dict_all[doffs[:-1]]        # sorted: first = min
         vmax[grp] = dict_all[doffs[1:] - 1]     # sorted: last = max
+        # index streams: one batched unpack per distinct width (the
+        # per-chunk tiny-unpack overhead dominates on doc-tail chunks,
+        # exactly as in decode_batch_kernel's dict path; memcpy-class
+        # widths keep per-chunk frombuffer-style unpacks)
+        idx_of: dict[int, np.ndarray] = {}
+        sub = np.flatnonzero(~np.isin(wi_arr, (0, 8, 16, 32)))
+        if len(sub):
+            ns_sub = ns[grp[sub]]
+            wi_sub = wi_arr[sub]
+            allidx = np.empty(int(ns_sub.sum()), np.int64)
+            _gather_padded_streams(
+                payloads, grp[sub], dict_end[sub],
+                dict_end[sub] + (ns_sub * wi_sub + 7) // 8,
+                wi_sub, ns_sub, allidx,
+            )
+            aoff = np.concatenate(([0], np.cumsum(ns_sub))).astype(np.int64)
+            for t, j in enumerate(sub):
+                idx_of[int(j)] = allidx[aoff[t] : aoff[t + 1]]
         for j, i in enumerate(grp):
             k = int(ns[i])
             w = int(wi_arr[j])
             uniq = dict_all[doffs[j] : doffs[j + 1]]
             if w == 0:
                 sums[i] = int(uniq[0]) * k
-            else:
+                continue
+            idx = idx_of.get(j)
+            if idx is None:
                 idx = unpack_bits_le(
                     payloads[i][int(dict_end[j]) : int(dict_end[j]) + packed_size(k, w)],
                     w, k,
                 ).astype(np.int64)  # unpack emits uint64; bincount wants intp
-                sums[i] = int(
-                    np.bincount(idx, minlength=len(uniq)).astype(np.int64) @ uniq
-                )
+            sums[i] = int(
+                np.bincount(idx, minlength=len(uniq)).astype(np.int64) @ uniq
+            )
         done[grp] = True
 
     # --- everything else: decode inside the kernel, reduce to
@@ -191,6 +214,7 @@ def _agg_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         yield pa.RecordBatch.from_arrays(
             [
                 batch.column("doc_id"),
+                batch.column("chunk_idx").cast(pa.int32()),
                 batch.column("source"),
                 pa.array(np.asarray(ns, np.int64), pa.int64()),
                 pa.array(sums, pa.int64()),
@@ -202,19 +226,25 @@ def _agg_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
 
 
 def agg_chunks(encoded_df: DataFrame) -> DataFrame:
-    """Encoded table -> one summary row per chunk: (doc_id, source,
-    n_values, sum_val, min_val, max_val) of the DECODED tokens,
-    computed in the compressed domain (see module doc). No shuffle —
-    a narrow map over the scan; aggregate the result with plain SQL."""
-    cols = ["doc_id", "source", "codec", "bit_width", "n_values",
-            "min_val", "payload"]
+    """Encoded table -> one summary row per chunk: (doc_id, chunk_idx,
+    source, n_values, sum_val, min_val, max_val) of the DECODED
+    tokens, computed in the compressed domain (see module doc). No
+    shuffle — a narrow map over the scan. chunk_idx is carried so
+    consumers can dedup at-least-once duplicate chunks (resume
+    appends) downstream; duplicate chunks have byte-identical
+    payloads, so their summary rows are identical too."""
+    cols = ["doc_id", "chunk_idx", "source", "codec", "bit_width",
+            "n_values", "min_val", "payload"]
     return encoded_df.select(*cols).mapInArrow(_agg_map, AGG_CHUNK_SCHEMA)
 
 
 def agg_tokens(encoded_df: DataFrame, *group_cols: str) -> DataFrame:
     """Exact (n_tokens, sum_tokens, min_token, max_token) per group
-    (default: whole table) answered from the encoded store."""
-    per_chunk = agg_chunks(encoded_df)
+    (default: whole table) answered from the encoded store. Resume
+    appends are at-least-once, so duplicate chunks are deduped on
+    (doc_id, chunk_idx) AFTER the kernel — the dedup exchange carries
+    ~56-byte summary rows, never payloads or decoded tokens."""
+    per_chunk = agg_chunks(encoded_df).dropDuplicates(["doc_id", "chunk_idx"])
     grouped = (
         per_chunk.groupBy(*group_cols) if group_cols else per_chunk.groupBy()
     )
@@ -227,7 +257,14 @@ def agg_tokens(encoded_df: DataFrame, *group_cols: str) -> DataFrame:
 
 
 def count_tokens(encoded_df: DataFrame) -> DataFrame:
-    """Token count from manifest columns only — the payload column is
-    pruned out of the parquet scan entirely (.explain shows ReadSchema
-    without `payload`)."""
-    return encoded_df.agg(F.sum("n_values").alias("n_tokens"))
+    """Token count WITHOUT reading payload bytes: three manifest-shaped
+    columns leave the parquet scan (ReadSchema shows no `payload`),
+    deduped on the chunk key (at-least-once appends), then summed.
+    When an EncodeJob store is at hand, its chunk manifest is already
+    deduped — EncodeJob.count_tokens() reads that and skips the
+    dedup exchange entirely."""
+    return (
+        encoded_df.select("doc_id", "chunk_idx", "n_values")
+        .dropDuplicates(["doc_id", "chunk_idx"])
+        .agg(F.sum("n_values").alias("n_tokens"))
+    )

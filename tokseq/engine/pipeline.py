@@ -275,8 +275,12 @@ class EncodeJob:
         return agg_tokens(self.encoded(), *group_cols)
 
     def count_tokens(self) -> DataFrame:
-        """Token count from manifest columns only; the payload column
-        never leaves the parquet scan."""
+        """Token count from the chunk manifest — already deduped at
+        write time, so no payload read AND no dedup exchange."""
+        self._check_format_marker("read store")
+        manifest = self._read_manifest()
+        if manifest is not None:
+            return manifest.agg(F.sum("n_values").alias("n_tokens"))
         from .agg import count_tokens
 
         return count_tokens(self.encoded())

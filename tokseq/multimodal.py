@@ -46,6 +46,21 @@ MEDIA_SCHEMA = (
 
 FEATURE_DIM = 16
 
+# single source of truth for the parameters the multimodal driver
+# queries (tokseq/queries.py q_multimodal_*) AND the frozen-fixture
+# freeze script (scripts/freeze_media_fixtures.py) must agree on: if a
+# query changed these independently, the committed fixtures would stop
+# matching and the drift would surface only as a driver hash mismatch.
+MEDIA_FIXTURE_PARAMS = {
+    "n_media": 128,   # synth_media_table size
+    "n_video": 32,    # synth_video_table size
+    "resize_w": 16,   # resize_images out_w
+    "resize_h": 12,   # resize_images out_h
+    "frame": 128,     # audio_frame_stats frame
+    "hop": 64,        # audio_frame_stats hop
+    "every_k": 4,     # sample_video_frames stride
+}
+
 FEATURES_SCHEMA = "item_id string, modality string, feature array<float>"
 
 RESIZED_SCHEMA = "item_id string, payload binary, width int, height int"

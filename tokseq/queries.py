@@ -1756,7 +1756,9 @@ ORACLES["embedding_near_dup"] = ORACLE_NEAR_DUP
 # deterministic everywhere. Fixture floats are frozen from the same
 # deterministic synth tables (scripts/freeze_media_fixtures.py).
 _Q20 = 1048576.0
-_MEDIA_FIX = "/root/repo/fixtures"
+_MEDIA_FIX = os.path.normpath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "fixtures")
+)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1770,9 +1772,15 @@ def q_multimodal_features(spark, sf_dir):
     (scripts/freeze_media_fixtures.py — the IVF frozen-codebook move
     applied to media), so the distributed kernel is under the full
     rows+schema+hash check."""
-    from .multimodal import extract_features, synth_media_table
+    from .multimodal import (
+        MEDIA_FIXTURE_PARAMS,
+        extract_features,
+        synth_media_table,
+    )
 
-    media = spark.createDataFrame(synth_media_table(128).to_pandas())
+    media = spark.createDataFrame(
+        synth_media_table(MEDIA_FIXTURE_PARAMS["n_media"]).to_pandas()
+    )
     feats = extract_features(media)
     ex = feats.select(
         "item_id", "modality", F.posexplode("feature").alias("dim", "fval")
@@ -1807,6 +1815,7 @@ def q_multimodal_frames(spark, sf_dir):
     rows the exact sampled frame bytes (md5). Oracled against the
     frozen fixtures (scripts/freeze_media_fixtures.py)."""
     from .multimodal import (
+        MEDIA_FIXTURE_PARAMS as P,
         audio_frame_stats,
         resize_images,
         sample_video_frames,
@@ -1814,16 +1823,16 @@ def q_multimodal_frames(spark, sf_dir):
         synth_video_table,
     )
 
-    media = spark.createDataFrame(synth_media_table(128).to_pandas())
-    video = spark.createDataFrame(synth_video_table(32).to_pandas())
-    r = resize_images(media, 16, 12).select(
+    media = spark.createDataFrame(synth_media_table(P["n_media"]).to_pandas())
+    video = spark.createDataFrame(synth_video_table(P["n_video"]).to_pandas())
+    r = resize_images(media, P["resize_w"], P["resize_h"]).select(
         F.lit("resize").alias("op"),
         "item_id",
         F.lit(0).cast("int").alias("idx"),
         F.length("payload").cast("long").alias("metric"),
         F.md5("payload").alias("h"),
     )
-    a = audio_frame_stats(media, frame=128, hop=64).select(
+    a = audio_frame_stats(media, frame=P["frame"], hop=P["hop"]).select(
         F.lit("audio").alias("op"),
         "item_id",
         F.col("frame_idx").cast("int").alias("idx"),
@@ -1831,7 +1840,7 @@ def q_multimodal_frames(spark, sf_dir):
         F.floor(F.col("zcr").cast("double") * F.lit(_Q20))
         .cast("long").cast("string").alias("h"),
     )
-    v = sample_video_frames(video, every_k=4).select(
+    v = sample_video_frames(video, every_k=P["every_k"]).select(
         F.lit("video").alias("op"),
         "item_id",
         F.col("frame_idx").cast("int").alias("idx"),

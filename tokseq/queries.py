@@ -1958,3 +1958,34 @@ FROM ranked WHERE rank <= 20
 
 QUERIES["bpe_merge_mining"] = q_bpe_merge_mining
 ORACLES["bpe_merge_mining"] = ORACLE_BPE_MERGE
+
+
+def q_bpe_learn_merges(spark, sf_dir):
+    """ITERATIVE BPE vocabulary learning (tokseq/bpe.py): 8 rounds of
+    count-pairs -> pick argmax -> apply the merge distributedly
+    (vectorized greedy left-to-right kernel in mapInArrow) -> recount
+    over the merged streams. Later merges consume earlier merges' new
+    ids — not expressible in one SQL statement, so the oracle is a
+    FROZEN merge table computed by an INDEPENDENT pure-Python BPE
+    (DuckDB tokenization + Counter pair counts,
+    scripts/freeze_bpe_fixture.py) over the same sf0.01 corpus the
+    driver checks at: a hash match proves the distributed learner
+    round-for-round against a separate implementation. (The fixture
+    pins sf0.01 — the driver's correctness scale.)"""
+    from .bpe import learn_bpe
+
+    docs = tokenize_documents_md5(spark, sf_dir)
+    merges = learn_bpe(docs, n_merges=8)
+    return spark.createDataFrame(
+        [(m["round"], m["t1"], m["t2"], m["new_id"], m["n"]) for m in merges],
+        "round int, t1 int, t2 int, new_id int, n long",
+    )
+
+
+ORACLE_BPE_LEARN = f"""
+SELECT round, t1, t2, new_id, CAST(n AS BIGINT) AS n
+FROM read_parquet('{_MEDIA_FIX}/bpe_merges_sf001.parquet')
+"""
+
+QUERIES["bpe_learn_merges"] = q_bpe_learn_merges
+ORACLES["bpe_learn_merges"] = ORACLE_BPE_LEARN

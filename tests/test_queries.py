@@ -120,3 +120,45 @@ def test_ngram_df_cap_bounds_join(spark, tmp_path):
         .groupBy("source", "g").count().filter(F.col("count") <= cap)
     )
     assert grams.agg(F.max("count")).collect()[0][0] <= cap
+
+
+def test_dedup_clusters_invariants(spark):
+    """Connected-components labels are a valid union-find result: the
+    label is the min doc_id of its cluster, and any two docs sharing
+    an (eligible) LSH bucket share a cluster (the propagation actually
+    converged — a too-low iteration cap would break this)."""
+    from pyspark.sql import functions as F
+
+    from tokseq.queries import (
+        _CLUSTER_BUCKET_CAP,
+        QUERIES,
+        q_minhash_signatures,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["dedup_clusters"](spark, sf)
+    rows = out.collect()
+    label_of = {r["doc_id"]: r["cluster"] for r in rows}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r["doc_id"])
+    for c, members in by_cluster.items():
+        assert c == min(members)  # label = component min
+    for r in rows:
+        assert r["cluster_size"] == len(by_cluster[r["cluster"]])
+
+    sig = q_minhash_signatures(spark, sf)
+    b0 = sig.select(F.concat_ws("_", F.lit(0), "mh0", "mh1").alias("b"),
+                    F.col("doc_id").cast("int").alias("doc_id"))
+    b1 = sig.select(F.concat_ws("_", F.lit(1), "mh2", "mh3").alias("b"),
+                    F.col("doc_id").cast("int").alias("doc_id"))
+    buckets = {}
+    for r in b0.unionByName(b1).collect():
+        buckets.setdefault(r["b"], []).append(r["doc_id"])
+    n_multi = 0
+    for members in buckets.values():
+        if 1 < len(members) <= _CLUSTER_BUCKET_CAP:
+            n_multi += 1
+            labels = {label_of[d] for d in members}
+            assert len(labels) == 1, members
+    assert n_multi > 0  # the corpus actually exercises bucket edges

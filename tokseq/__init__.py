@@ -18,6 +18,10 @@ Layout:
     tokseq.selector  per-chunk codec auto-selection by estimated size
     tokseq.datagen   deterministic synthetic corpus (seeded)
     tokseq.engine    Spark pipeline: chunk -> encode -> manifest -> resume
+                     (+ engine.agg: compressed-domain aggregate pushdown)
+    tokseq.bpe       distributed iterative BPE vocabulary learning
+    tokseq.multimodal / tokseq.validity / tokseq.seqops
+                     media binary columns, validity bitmaps, sequence ops
 """
 
 __version__ = "0.1.0"

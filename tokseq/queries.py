@@ -886,6 +886,138 @@ SELECT band, sig, COUNT(*) AS n_docs FROM (
 """
 
 
+# Buckets larger than this form no edges: a giant LSH bucket is a
+# degenerate band signature (near-empty docs, boilerplate) whose
+# all-pairs edges would be O(bucket^2) at corpus scale; the cap is
+# deterministic and mirrored exactly in the oracle.
+_CLUSTER_BUCKET_CAP = 32
+# pointer jumping gives O(log diameter) convergence, so 25 rounds
+# covers any component a 2^25-hop chain could build; non-convergence
+# raises instead of returning stale labels
+_CLUSTER_MAX_ITERS = 25
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERING (union-find at scale): connected
+    components over the MinHash-LSH candidate graph, labeling every
+    doc with the MIN doc_id of its component — the step a real
+    training pipeline runs after pair generation to keep one doc per
+    duplicate group. Scale design: edges are STAR topology per bucket
+    (bucket-min doc <-> every other doc), which spans the same
+    components as all-pairs with O(bucket) instead of O(bucket^2)
+    edges; oversized buckets (> _CLUSTER_BUCKET_CAP) are dropped
+    deterministically; labels converge by iterative min-label
+    propagation (join + groupBy-min per round, localCheckpoint to cut
+    lineage) with a convergence check — the GraphX
+    connectedComponents pattern in plain DataFrame ops. The DuckDB
+    oracle computes the same components via a recursive CTE
+    (reachability closure -> min reachable id), so the iterative
+    distributed algorithm is hash-checked against a declarative
+    single-node one."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("int").alias("doc_id")
+    )
+    sig = q_minhash_signatures(spark, sf_dir)
+    b0 = sig.select(F.lit(0).alias("band"),
+                    F.concat_ws("_", "mh0", "mh1").alias("sig"), "doc_id")
+    b1 = sig.select(F.lit(1).alias("band"),
+                    F.concat_ws("_", "mh2", "mh3").alias("sig"), "doc_id")
+    bucketed = b0.unionByName(b1).withColumn(
+        "doc_id", F.col("doc_id").cast("int")
+    )
+    w = Window.partitionBy("band", "sig")
+    bucketed = bucketed.withColumn("bsize", F.count("*").over(w)).withColumn(
+        "root", F.min("doc_id").over(w)
+    )
+    e = bucketed.filter(
+        (F.col("bsize") <= _CLUSTER_BUCKET_CAP)
+        & (F.col("doc_id") != F.col("root"))
+    ).select("root", "doc_id")
+    edges = e.select(F.col("root").alias("src"), F.col("doc_id").alias("dst")).unionByName(
+        e.select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
+    ).distinct().localCheckpoint()
+
+    labels = docs.withColumn("label", F.col("doc_id")).localCheckpoint()
+    converged = False
+    for _ in range(_CLUSTER_MAX_ITERS):
+        prop = edges.join(
+            labels, edges.src == labels.doc_id
+        ).select(F.col("dst").alias("doc_id"), "label")
+        # pointer jumping: labels are doc_ids, so label(label(x)) is
+        # defined and <= label(x) — chasing one pointer per round turns
+        # O(diameter) propagation into O(log diameter)
+        lab2 = labels.select(
+            F.col("doc_id").alias("l_doc"), F.col("label").alias("l_lab")
+        )
+        jumped = labels.join(
+            lab2, labels.label == lab2.l_doc
+        ).select("doc_id", F.col("l_lab").alias("label"))
+        new = (
+            prop.unionByName(labels.select("doc_id", "label"))
+            .unionByName(jumped)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge in "
+            f"{_CLUSTER_MAX_ITERS} rounds — pathological component"
+        )
+    wc = Window.partitionBy("label")
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster"),
+        F.count("*").over(wc).cast("long").alias("cluster_size"),
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sig AS ({ORACLE_MINHASH_SIG}),
+bucketed AS (
+  SELECT band, sig, CAST(doc_id AS INTEGER) AS doc_id FROM (
+    SELECT 0 AS band, mh0 || '_' || mh1 AS sig, doc_id FROM sig
+    UNION ALL
+    SELECT 1 AS band, mh2 || '_' || mh3 AS sig, doc_id FROM sig
+  ) t
+), star AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY band, sig) AS root,
+         COUNT(*) OVER (PARTITION BY band, sig) AS bsize
+  FROM bucketed
+), edges AS (
+  SELECT root AS src, doc_id AS dst FROM star
+  WHERE bsize <= {_CLUSTER_BUCKET_CAP} AND doc_id <> root
+  UNION
+  SELECT doc_id, root FROM star
+  WHERE bsize <= {_CLUSTER_BUCKET_CAP} AND doc_id <> root
+), nodes AS (
+  SELECT CAST(doc_id AS INTEGER) AS doc_id FROM documents
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+), labels AS (
+  SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a
+)
+SELECT doc_id, cluster,
+       CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+FROM labels
+"""
+
+QUERIES["dedup_clusters"] = q_dedup_clusters
+ORACLES["dedup_clusters"] = ORACLE_DEDUP_CLUSTERS
+
+
 def q_simhash(spark, sf_dir):
     """16-bit SimHash over word hashes: per bit, sign of the sum of
     (+1/-1) votes across all word occurrences."""

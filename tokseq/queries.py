@@ -2121,3 +2121,63 @@ FROM read_parquet('{_MEDIA_FIX}/bpe_merges_sf001.parquet')
 
 QUERIES["bpe_learn_merges"] = q_bpe_learn_merges
 ORACLES["bpe_learn_merges"] = ORACLE_BPE_LEARN
+
+
+_QUANTILES = (50, 90, 99)
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Sequence-length distribution per source — the statistic that
+    drives sequence packing / batch bucketing in a training pipeline.
+    Percentiles are EXPLICIT rank-based picks (value at row
+    ceil(p*n/100) of the (n_tok, doc_id)-sorted partition) rather than
+    an engine built-in, because percentile_disc/cont interpolation
+    semantics differ subtly across engines — the explicit definition
+    is deterministic and identical in both, and returns real observed
+    integers (no float compare). One window over a per-source sort;
+    at scale the partition-by-source sort is the only shuffle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("doc_id").cast("int").alias("doc_id"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("source"))
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * F.lit(p) / F.lit(100.0)),
+                F.col("n_tok"),
+            )
+        ).cast("int").alias(f"p{p}")
+        for p in _QUANTILES
+    ]
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"), *aggs
+    )
+
+
+_Q_PICKS = ",\n".join(
+    f"CAST(MAX(CASE WHEN rn = CAST(ceil(n * {p} / 100.0) AS BIGINT) "
+    f"THEN n_tok END) AS INTEGER) AS p{p}"
+    for p in _QUANTILES
+)
+ORACLE_LENGTH_QUANTILES = f"""
+WITH lens AS (
+  SELECT source, CAST(doc_id AS INTEGER) AS doc_id,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), ranked AS (
+  SELECT source, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM lens
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+{_Q_PICKS}
+FROM ranked GROUP BY source
+"""
+
+QUERIES["length_quantiles"] = q_length_quantiles
+ORACLES["length_quantiles"] = ORACLE_LENGTH_QUANTILES

@@ -94,3 +94,43 @@ def test_stateful_source_stats_accumulate_across_restarts(spark, tmp_path):
             int(sum(int(np.asarray(t, dtype=np.int64).sum()) for t in grp["tokens"])),
         )
         assert latest[source] == want, source
+
+
+def test_agg_pushdown_over_streamed_store(spark, tmp_path):
+    """Compositionality: the compressed-domain aggregate pushdown
+    (engine/agg.py) answers exactly over a STREAM-ingested store —
+    including the at-least-once dedup story, exercised by re-appending
+    one input file under a fresh checkpoint (a replay double-writes
+    its chunks; agg_tokens must still count each chunk once)."""
+    from tokseq.engine.agg import agg_tokens, count_tokens
+
+    table = generate_corpus(scale=0.1, include_boundary=False)
+    n = table.num_rows
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    _write_slice(table, 0, n, str(in_dir / "part-0.parquet"))
+    q = stream_encode(spark, str(in_dir), out_dir, chunk_width=512,
+                      n_buckets=8, num_partitions=4)
+    q.awaitTermination()
+    # simulate an at-least-once replay: fresh checkpoint re-consumes
+    # the same file and appends duplicate chunks
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, "_checkpoint"))
+    q = stream_encode(spark, str(in_dir), out_dir, chunk_width=512,
+                      n_buckets=8, num_partitions=4)
+    q.awaitTermination()
+
+    enc = spark.read.parquet(os.path.join(out_dir, "encoded"))
+    assert enc.count() > enc.dropDuplicates(["doc_id", "chunk_idx"]).count()
+
+    docs = spark.createDataFrame(table.to_pandas())
+    want = docs.select(F.explode("tokens").alias("t")).agg(
+        F.count("*").alias("n"), F.sum("t").alias("s"),
+        F.min("t").alias("mn"), F.max("t").alias("mx"),
+    ).collect()[0]
+    got = agg_tokens(enc).collect()[0]
+    assert (got["n_tokens"], got["sum_tokens"], got["min_token"],
+            got["max_token"]) == (want["n"], want["s"], want["mn"], want["mx"])
+    assert count_tokens(enc).collect()[0]["n_tokens"] == want["n"]

@@ -162,3 +162,31 @@ def test_dedup_clusters_invariants(spark):
             labels = {label_of[d] for d in members}
             assert len(labels) == 1, members
     assert n_multi > 0  # the corpus actually exercises bucket edges
+
+
+def test_pack_sequences_invariants(spark):
+    """Next-fit packing invariants at sf0.001: every doc packed once;
+    bins never exceed the budget unless a single doc does; bin ids are
+    dense from 0 in doc order within each (source, shard) group."""
+    from tokseq.queries import _PACK_BUDGET, QUERIES
+
+    rows = QUERIES["pack_sequences"](spark, "/root/testdata/sf0.001").collect()
+    docs_seen = set()
+    groups = {}
+    for r in rows:
+        assert r["doc_id"] not in docs_seen
+        docs_seen.add(r["doc_id"])
+        groups.setdefault((r["source"], r["shard"]), []).append(r)
+    assert len(docs_seen) == len(rows) > 0
+    for key, members in groups.items():
+        members.sort(key=lambda r: r["doc_id"])
+        fills = {}
+        last_bin = 0
+        for r in members:
+            assert 0 <= r["bin_id"] >= last_bin - 0  # monotone non-decreasing
+            assert r["bin_id"] in (last_bin, last_bin + 1) or r["bin_id"] == 0
+            last_bin = r["bin_id"]
+            fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tok"]
+        for b, fill in fills.items():
+            n_in_bin = sum(1 for r in members if r["bin_id"] == b)
+            assert fill <= _PACK_BUDGET or n_in_bin == 1, (key, b, fill)

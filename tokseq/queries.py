@@ -2181,3 +2181,71 @@ FROM ranked GROUP BY source
 
 QUERIES["length_quantiles"] = q_length_quantiles
 ORACLES["length_quantiles"] = ORACLE_LENGTH_QUANTILES
+
+
+_PACK_BUDGET = 8192
+_PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark, sf_dir):
+    """SEQUENCE PACKING — assign docs to fixed token-budget bins (the
+    step that turns length stats into dense training batches). Greedy
+    next-fit in deterministic (doc_id) order within each
+    (source, shard) group: packing is inherently sequential, so it
+    runs as grouped ``applyInPandas`` — and the shard key
+    (doc_id mod _PACK_SHARDS) bounds every group regardless of size,
+    which is what makes the sequential step scale: at 10^12 docs you
+    raise the shard count, never the per-group work. An over-budget
+    doc occupies its own bin. The DuckDB oracle replays the same
+    next-fit with a recursive CTE (row-by-row recursion per group) —
+    an independent sequential engine checking the distributed one."""
+    import pandas as pd  # noqa: F401 (applyInPandas contract)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).cast("int").alias("shard"),
+        F.col("doc_id").cast("int").alias("doc_id"),
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, b, fill = [], 0, 0
+        for n in pdf["n_tok"]:
+            if fill > 0 and fill + int(n) > _PACK_BUDGET:
+                b, fill = b + 1, 0
+            bins.append(b)
+            fill += int(n)
+        pdf["bin_id"] = bins
+        return pdf
+
+    return docs.groupBy("source", "shard").applyInPandas(
+        pack, "source string, shard int, doc_id int, n_tok int, bin_id int"
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH RECURSIVE docs AS (
+  SELECT source, CAST(doc_id % {_PACK_SHARDS} AS INTEGER) AS shard,
+         CAST(doc_id AS INTEGER) AS doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+         ROW_NUMBER() OVER (
+           PARTITION BY source, doc_id % {_PACK_SHARDS} ORDER BY doc_id
+         ) AS rn
+  FROM documents
+), pack(source, shard, rn, doc_id, n_tok, bin, fill) AS (
+  SELECT source, shard, rn, doc_id, n_tok, 0, n_tok FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.shard, d.rn, d.doc_id, d.n_tok,
+         CASE WHEN p.fill > 0 AND p.fill + d.n_tok > {_PACK_BUDGET}
+              THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.fill > 0 AND p.fill + d.n_tok > {_PACK_BUDGET}
+              THEN d.n_tok ELSE p.fill + d.n_tok END
+  FROM docs d
+  JOIN pack p ON d.source = p.source AND d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT source, shard, doc_id, n_tok, CAST(bin AS INTEGER) AS bin_id FROM pack
+"""
+
+QUERIES["pack_sequences"] = q_pack_sequences
+ORACLES["pack_sequences"] = ORACLE_PACK_SEQUENCES

@@ -13,7 +13,6 @@ regenerate if the testdata or the tokenization recipe changes:
 
 from __future__ import annotations
 
-import sys
 from collections import Counter
 from pathlib import Path
 
@@ -21,7 +20,8 @@ import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+# deliberately NO tokseq import (and no sys.path hack): this script's
+# value as an oracle is its independence from the code under test
 
 FIXDIR = Path(__file__).resolve().parent.parent / "fixtures"
 SF_DIR = "/root/testdata/sf0.01"

@@ -110,3 +110,16 @@ def test_learn_bpe_matches_reference(spark):
     got = learn_bpe(sdf, 6, vocab_base=100)
     want, _ = ref_learn(docs, 6, base=100)
     assert got == want
+
+
+def test_learn_bpe_tolerates_empty_and_singleton_docs(spark):
+    """Review r5 finding: slice(tokens, 1, size-1) raised
+    INVALID_PARAMETER_VALUE on empty docs; the clamped adjacent_pairs
+    must skip them instead (the kernel already supported them)."""
+    sdf = spark.createDataFrame(
+        [("d0", [1, 2, 1, 2]), ("d1", []), ("d2", [9]), ("d3", [1, 2])],
+        "doc_id string, tokens array<int>",
+    )
+    got = learn_bpe(sdf, 2, vocab_base=100)
+    want, _ = ref_learn([[1, 2, 1, 2], [], [9], [1, 2]], 2, base=100)
+    assert got == want and got[0]["t1"] == 1 and got[0]["t2"] == 2

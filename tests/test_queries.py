@@ -183,8 +183,9 @@ def test_pack_sequences_invariants(spark):
         fills = {}
         last_bin = 0
         for r in members:
-            assert 0 <= r["bin_id"] >= last_bin - 0  # monotone non-decreasing
-            assert r["bin_id"] in (last_bin, last_bin + 1) or r["bin_id"] == 0
+            # dense and monotone: each doc stays in the current bin or
+            # opens the next one
+            assert last_bin <= r["bin_id"] <= last_bin + 1
             last_bin = r["bin_id"]
             fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tok"]
         for b, fill in fills.items():

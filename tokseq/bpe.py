@@ -11,10 +11,10 @@ count + a 1-row TakeOrdered — the driver holds one (pair, count) row
 per round, never token data.
 
 Scale shape (per round): one pair-count shuffle keyed on (t1, t2) +
-one narrow 1-row collect. Streams are re-derived each round by
-applying the accumulated merge table in one kernel pass over the
-source scan — no cached lineage to blow up, deterministic, and the
-total work is O(n_merges x corpus), the same as classic BPE.
+one narrow 1-row collect. The merged stream is localCheckpoint-ed
+each round (materialized, lineage cut), so every round applies ONE
+merge to the previous round's output — total work O(n_merges x
+corpus), the same as classic BPE.
 """
 
 from __future__ import annotations
@@ -116,20 +116,28 @@ def apply_merges(docs: DataFrame, merges: list[tuple[int, int, int]]) -> DataFra
     )
 
 
-def _top_pair(docs: DataFrame) -> tuple[int, int, int] | None:
-    """Most frequent adjacent pair (t1, t2, count); deterministic
-    tie-break count desc, t1 asc, t2 asc. Driver receives ONE row."""
-    pairs = docs.select(
+def adjacent_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, tokens, ...) -> one (t1, t2) row per adjacent token
+    position (overlapping, the standard BPE pair count). The slice
+    length is clamped to >= 0 so empty and single-token docs
+    contribute nothing instead of raising (negative slice length is a
+    SparkRuntimeException). Shared by the one-round miner
+    (queries.q_bpe_merge_mining) and the iterative learner."""
+    k = F.greatest(F.size("tokens") - F.lit(1), F.lit(0))
+    return docs.select(
         F.explode(
-            F.arrays_zip(
-                F.expr("slice(tokens, 1, size(tokens) - 1)"),
-                F.expr("slice(tokens, 2, size(tokens) - 1)"),
-            )
+            F.arrays_zip(F.slice("tokens", F.lit(1), k), F.slice("tokens", F.lit(2), k))
         ).alias("p")
     ).select(
         F.col("p").getField("0").alias("t1"),
         F.col("p").getField("1").alias("t2"),
     )
+
+
+def _top_pair(docs: DataFrame) -> tuple[int, int, int] | None:
+    """Most frequent adjacent pair (t1, t2, count); deterministic
+    tie-break count desc, t1 asc, t2 asc. Driver receives ONE row."""
+    pairs = adjacent_pairs(docs)
     row = (
         pairs.groupBy("t1", "t2")
         .agg(F.count("*").alias("n"))
@@ -149,9 +157,8 @@ def learn_bpe(
     the merge table [{round, t1, t2, new_id, n}, ...]; new ids are
     vocab_base, vocab_base+1, ... in merge order."""
     merges: list[dict] = []
-    applied: list[tuple[int, int, int]] = []
+    cur = docs.select("doc_id", "tokens")
     for r in range(n_merges):
-        cur = apply_merges(docs, applied)
         top = _top_pair(cur)
         if top is None or top[2] < 2:
             break
@@ -160,5 +167,8 @@ def learn_bpe(
         merges.append(
             {"round": r, "t1": t1, "t2": t2, "new_id": new_id, "n": n}
         )
-        applied.append((t1, t2, new_id))
+        # apply ONE merge to the previous round's MATERIALIZED output
+        # (localCheckpoint cuts lineage) — not a replay of the whole
+        # table from source, which would be O(n_merges^2 x corpus)
+        cur = apply_merges(cur, [(t1, t2, new_id)]).localCheckpoint()
     return merges

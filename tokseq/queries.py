@@ -945,7 +945,10 @@ def q_dedup_clusters(spark, sf_dir):
         ).select(F.col("dst").alias("doc_id"), "label")
         # pointer jumping: labels are doc_ids, so label(label(x)) is
         # defined and <= label(x) — chasing one pointer per round turns
-        # O(diameter) propagation into O(log diameter)
+        # O(diameter) propagation into O(log diameter). jumped covers
+        # every doc_id exactly once (every label value is a doc in the
+        # universe) with a value <= its current label, so a separate
+        # `labels` branch in the union would be pure extra shuffle.
         lab2 = labels.select(
             F.col("doc_id").alias("l_doc"), F.col("label").alias("l_lab")
         )
@@ -953,8 +956,7 @@ def q_dedup_clusters(spark, sf_dir):
             lab2, labels.label == lab2.l_doc
         ).select("doc_id", F.col("l_lab").alias("label"))
         new = (
-            prop.unionByName(labels.select("doc_id", "label"))
-            .unionByName(jumped)
+            prop.unionByName(jumped)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
@@ -2045,19 +2047,10 @@ def q_bpe_merge_mining(spark, sf_dir):
     a single-partition sort of the pair table (verified on the
     physical plan). At 100 TB: one shuffle keyed on (t1, t2) with
     partial aggregation; only 20 rows cross the final exchange."""
+    from .bpe import adjacent_pairs
+
     docs = tokenize_documents_md5(spark, sf_dir)
-    pairs = docs.select(
-        F.explode(
-            F.arrays_zip(
-                F.expr("slice(tokens, 1, size(tokens) - 1)"),
-                F.expr("slice(tokens, 2, size(tokens) - 1)"),
-            )
-        ).alias("p")
-    ).select(
-        F.col("p").getField("0").alias("t1"),
-        F.col("p").getField("1").alias("t2"),
-    )
-    counts = pairs.groupBy("t1", "t2").agg(F.count("*").alias("n"))
+    counts = adjacent_pairs(docs).groupBy("t1", "t2").agg(F.count("*").alias("n"))
     wnd = Window.orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"))
     return (
         counts.withColumn("rank", F.row_number().over(wnd))

@@ -29,6 +29,11 @@ Cost ladder, cheapest first:
 At 100 TB the difference is the whole job: a full-table sum becomes a
 scan of compressed payloads with a scalar combine, zero exchanges of
 token data.
+
+Semantics note: aggregates cover the tokens AS STORED — validity
+bitmaps (the nullable per-chunk ``mask`` column) ride separately and
+do not filter these aggregates, exactly matching the decode contract
+(decode_chunks returns all tokens; masks are a parallel stream).
 """
 
 from __future__ import annotations

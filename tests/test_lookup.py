@@ -156,3 +156,43 @@ def test_store_membership_sound_and_prunes(spark, corpus_df, tmp_path):
     n_all = enc.count()
     n_decoded = enc.filter(zone_filter(probe)).count()  # = chunks decoded
     assert n_decoded < n_all // 2, (n_decoded, n_all)
+
+
+def test_gather_slices_matches_source_and_prunes(spark, corpus_df, tmp_path):
+    """Distributed batch random access (gather_slices): slices equal
+    in-memory slices of the original tokens across chunk straddles,
+    short reads truncate, and ONLY the touched chunks decode."""
+    from tokseq.engine.lookup import gather_slices
+
+    out = str(tmp_path / "g")
+    job = EncodeJob(spark, out, chunk_width=CHUNK_W, n_buckets=8)
+    job.run(corpus_df)
+    enc = job.encoded()
+
+    rng = np.random.default_rng(3)
+    docs = corpus_df.filter(F.col("n_tok") > 0).select("doc_id", "tokens").collect()
+    picks = rng.choice(len(docs), 25, replace=False)
+    probes, want = [], {}
+    for j, i in enumerate(picks):
+        doc_id, tokens = docs[i]["doc_id"], np.array(docs[i]["tokens"])
+        pos = int(rng.integers(0, len(tokens)))
+        k = int(rng.integers(1, 3 * CHUNK_W))  # straddles guaranteed
+        probes.append((j, doc_id, pos, k))
+        want[j] = tokens[pos : pos + k]
+    pdf = spark.createDataFrame(
+        probes, "probe_id int, doc_id string, pos long, k long"
+    )
+    got = {
+        r["probe_id"]: np.asarray(r["tokens"])
+        for r in gather_slices(enc, pdf, CHUNK_W).collect()
+    }
+    assert set(got) == {j for j, *_ in probes if len(want[j])}
+    for j, arr in got.items():
+        assert np.array_equal(arr, want[j]), j
+
+    # pruning: candidate chunk keys << store chunks
+    touched = sum(
+        (min(p + k - 1, 10**9) // CHUNK_W) - (p // CHUNK_W) + 1
+        for _, _, p, k in probes
+    )
+    assert touched < enc.count() // 2

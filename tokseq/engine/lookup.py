@@ -65,6 +65,66 @@ def token_membership(encoded_df, token: int):
     )
 
 
+def gather_slices(encoded_df, probes_df, chunk_width: int = 4096):
+    """DISTRIBUTED batch random access: gather ``tokens[pos : pos+k]``
+    for a whole TABLE of probes (doc_id, pos, k) — the reference's
+    ``read_kmer`` workload (src/test.rs:891-920) at cluster scale,
+    where :func:`point_lookup` is the single-probe driver-side path.
+
+    Plan shape: probes expand to their touched chunk keys
+    (pos//W .. (pos+k-1)//W — a handful per probe), ONE equi-join
+    against the encoded table on (doc_id, chunk_idx) selects the
+    candidate chunks, ONLY those decode (the mapInArrow runs on the
+    join output), each chunk contributes its declaratively-sliced
+    piece, and an array_sort/flatten groupBy stitches pieces per
+    probe. Nothing outside the touched chunks is ever decoded; at
+    100 TB the join is the standard shuffle-or-broadcast hash join on
+    the chunk key. Short reads past the doc end truncate (as
+    point_lookup does); probes into missing docs return no row.
+
+    Returns (probe_id, doc_id, pos, k, tokens array<int>)."""
+    from .decode import decode_chunks
+
+    W = chunk_width
+    pr = probes_df.select(
+        "probe_id", "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("k").cast("long").alias("k"),
+    ).withColumn(
+        "chunk_idx",
+        F.explode(
+            F.sequence(
+                (F.col("pos") / W).cast("int"),
+                ((F.col("pos") + F.greatest(F.col("k"), F.lit(1)) - 1) / W).cast("int"),
+            )
+        ),
+    )
+    enc = encoded_df.dropDuplicates(["doc_id", "chunk_idx"])
+    touched = pr.select("doc_id", "chunk_idx").distinct().join(
+        enc, ["doc_id", "chunk_idx"]
+    )
+    dec = decode_chunks(touched)
+    hit = pr.join(dec, ["doc_id", "chunk_idx"])
+    base = F.col("chunk_idx").cast("long") * W
+    lo = F.greatest(F.col("pos") - base, F.lit(0))
+    hi = F.least(F.col("pos") + F.col("k") - base, F.size("chunk_tokens").cast("long"))
+    piece = F.slice(
+        "chunk_tokens", (lo + 1).cast("int"), F.greatest(hi - lo, F.lit(0)).cast("int")
+    )
+    return (
+        hit.select("probe_id", "doc_id", "pos", "k", "chunk_idx", piece.alias("piece"))
+        .groupBy("probe_id", "doc_id", "pos", "k")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "piece"))),
+                    lambda s: s.getField("piece"),
+                )
+            ).alias("tokens")
+        )
+    )
+
+
 def point_lookup(
     spark: SparkSession,
     encoded_path: str,

@@ -2242,3 +2242,56 @@ SELECT source, shard, doc_id, n_tok, CAST(bin AS INTEGER) AS bin_id FROM pack
 
 QUERIES["pack_sequences"] = q_pack_sequences
 ORACLES["pack_sequences"] = ORACLE_PACK_SEQUENCES
+
+
+def q_random_access_gather(spark, sf_dir):
+    """Distributed batch RANDOM ACCESS over the encoded table — the
+    reference's ``read_kmer`` workload (src/test.rs:891-920) as a
+    table-scale gather: one deterministic probe per doc with >= 8
+    tokens (pos = doc_id mod (n_tok - 4), k = 4), chunk-key equi-join
+    selects candidate chunks, ONLY those decode, declarative slices
+    stitch per probe (engine/lookup.py gather_slices). Emitted
+    exploded (one row per gathered token) so the oracle hash covers
+    every byte; DuckDB recomputes the slices from raw text."""
+    from .engine.chunk import plan_chunks
+    from .engine.encode import encode_chunks
+    from .engine.lookup import gather_slices
+
+    docs = tokenize_documents_md5(spark, sf_dir)
+    enc = encode_chunks(plan_chunks(docs, 4096))
+    probes = docs.filter(F.col("n_tok") >= 8).select(
+        F.col("doc_id").alias("probe_id"),
+        "doc_id",
+        (F.col("doc_id").cast("long") % (F.col("n_tok") - 4)).alias("pos"),
+        F.lit(4).alias("k"),
+    )
+    out = gather_slices(enc, probes, 4096)
+    return out.select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        F.col("pos").cast("long").alias("pos"),
+        F.posexplode("tokens").alias("idx", "token"),
+    ).select("doc_id", "pos", F.col("idx").cast("int").alias("idx"), "token")
+
+
+ORACLE_RANDOM_ACCESS = """
+WITH toks AS (
+  SELECT doc_id, list(tok ORDER BY p) AS toks FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS p,
+           CAST(('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT
+             % 50257 AS INTEGER) AS tok
+    FROM documents
+  ) GROUP BY doc_id
+), probes AS (
+  SELECT doc_id, doc_id % (len(toks) - 4) AS pos,
+         toks[(doc_id % (len(toks) - 4)) + 1 : (doc_id % (len(toks) - 4)) + 4] AS sl
+  FROM toks WHERE len(toks) >= 8
+)
+SELECT CAST(doc_id AS INTEGER) AS doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST(generate_subscripts(sl, 1) - 1 AS INTEGER) AS idx,
+       unnest(sl) AS token
+FROM probes
+"""
+
+QUERIES["random_access_gather"] = q_random_access_gather
+ORACLES["random_access_gather"] = ORACLE_RANDOM_ACCESS

@@ -233,3 +233,61 @@ def test_format_marker_guards_store(spark, corpus_df, tmp_path):
     os.unlink(marker)
     with pytest.raises(RuntimeError, match="pre-v2"):
         job.decode()
+
+
+def test_encodejob_catalog_mode_roundtrip_and_marker(spark, corpus_df):
+    """CATALOG mode (table_prefix instead of out_dir): the whole job —
+    encode, manifests, marker, resume append, decode, aggregate
+    pushdown — runs against catalog tables (saveAsTable/read.table),
+    the exact surface an Iceberg catalog binds to when its runtime jar
+    exists. The payload-format marker rides TBLPROPERTIES and guards
+    reads the same way the marker file does in path mode."""
+    import pyspark.sql.functions as F
+
+    from tokseq.engine.verify import count_mismatches
+
+    prefix = "tokseq_cattest"
+    for t in ("encoded", "chunk_manifest", "partition_manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    try:
+        job = EncodeJob(spark, table_prefix=prefix, chunk_width=512, n_buckets=8)
+        res = job.run(corpus_df)
+        assert res.n_values > 0 and res.out_bytes <= res.floor_bytes
+        # marker property landed
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {prefix}_encoded").collect()
+        }
+        assert props.get("tokseq.format_version") is not None
+        # decode through the catalog read path
+        assert count_mismatches(
+            corpus_df.select("doc_id", "tokens"), job.decode()
+        ) == 0
+        # agg pushdown + manifest-backed count work on catalog tables
+        n_tok = corpus_df.agg(F.sum("n_tok")).collect()[0][0]
+        assert job.count_tokens().collect()[0]["n_tokens"] == n_tok
+        assert job.agg_tokens().collect()[0]["n_tokens"] == n_tok
+        # resume append: everything already encoded -> no new chunks
+        before = spark.read.table(f"{prefix}_encoded").count()
+        job.run(corpus_df, resume=True)
+        assert (
+            spark.read.table(f"{prefix}_encoded")
+            .dropDuplicates(["doc_id", "chunk_idx"]).count() == before
+        )
+        # marker guard: stripping the property makes reads fail loudly
+        spark.sql(
+            f"ALTER TABLE {prefix}_encoded UNSET TBLPROPERTIES "
+            "('tokseq.format_version')"
+        )
+        with pytest.raises(RuntimeError, match="format_version"):
+            job.encoded()
+    finally:
+        for t in ("encoded", "chunk_manifest", "partition_manifest"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_encodejob_requires_exactly_one_target(spark):
+    with pytest.raises(ValueError, match="exactly one"):
+        EncodeJob(spark)
+    with pytest.raises(ValueError, match="exactly one"):
+        EncodeJob(spark, out_dir="/tmp/x", table_prefix="y")

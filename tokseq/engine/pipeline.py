@@ -62,7 +62,7 @@ class EncodeJob:
     def __init__(
         self,
         spark: SparkSession,
-        out_dir: str,
+        out_dir: str | None = None,
         chunk_width: int = DEFAULT_CHUNK_WIDTH,
         n_buckets: int = DEFAULT_BUCKETS,
         enable_fsst: bool = True,
@@ -70,13 +70,29 @@ class EncodeJob:
         quality_threshold: int = 10,
         mask_vocab: int | None = None,
         workload: str = "read",
+        table_prefix: str | None = None,
     ):
+        """``out_dir`` selects PATH mode (parquet directories). Passing
+        ``table_prefix`` instead selects CATALOG mode: the encoded
+        table and both manifests live as catalog tables
+        ``{prefix}_encoded`` / ``{prefix}_chunk_manifest`` /
+        ``{prefix}_partition_manifest`` (``saveAsTable`` /
+        ``spark.read.table``), and the payload-format marker rides the
+        encoded table's TBLPROPERTIES instead of a marker file. With
+        only Spark's built-in session catalog this stores parquet
+        under the warehouse dir; point ``table_prefix`` at a
+        configured Iceberg catalog (``catalog.db.name`` — needs the
+        Iceberg runtime jar, absent in this sandbox) and the SAME code
+        writes Iceberg tables, snapshots and all."""
         if chunk_width < 16:
             # W=1-ish widths explode row counts (one row per token) and
             # drown the engine in per-chunk headers
             raise ValueError(f"chunk_width must be >= 16, got {chunk_width}")
+        if (out_dir is None) == (table_prefix is None):
+            raise ValueError("pass exactly one of out_dir / table_prefix")
         self.spark = spark
         self.out_dir = out_dir
+        self.table_prefix = table_prefix
         self.chunk_width = chunk_width
         self.n_buckets = n_buckets
         self.enable_fsst = enable_fsst
@@ -103,6 +119,11 @@ class EncodeJob:
     def partition_manifest_path(self) -> str:
         return os.path.join(self.out_dir, "manifest", "partitions")
 
+    def _tbl(self, which: str) -> str:
+        return f"{self.table_prefix}_{which}"
+
+    _MARKER_PROP = "tokseq.format_version"
+
     @property
     def format_marker_path(self) -> str:
         return os.path.join(self.out_dir, "_tokseq_format.json")
@@ -110,8 +131,16 @@ class EncodeJob:
     def _write_format_marker(self) -> None:
         from ..codecs import FORMAT_VERSION
 
-        if "://" in self.out_dir:  # object-store/catalog mode: the
-            return  # marker would ride TableIO table properties instead
+        if self.table_prefix is not None:
+            # rides the encoded table's properties; caller invokes this
+            # AFTER the table exists
+            self.spark.sql(
+                f"ALTER TABLE {self._tbl('encoded')} SET TBLPROPERTIES "
+                f"('{self._MARKER_PROP}' = '{FORMAT_VERSION}')"
+            )
+            return
+        if "://" in self.out_dir:  # raw object-store path: no local file
+            return
         with open(self.format_marker_path, "w") as f:
             json.dump({"format_version": FORMAT_VERSION}, f)
 
@@ -120,9 +149,36 @@ class EncodeJob:
         carry no self-describing version (headers are packed structs),
         so the store-level marker is the loud guard: a v1 store (or any
         store written before markers existed) fails here with a clear
-        message instead of decoding to silently wrong tokens."""
+        message instead of decoding to silently wrong tokens. Catalog
+        mode keeps the same guard as a table property."""
         from ..codecs import FORMAT_VERSION
 
+        if self.table_prefix is not None:
+            name = self._tbl("encoded")
+            try:
+                props = {
+                    r["key"]: r["value"]
+                    for r in self.spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+                }
+            except Exception as exc:
+                raise RuntimeError(
+                    f"cannot {action}: catalog table {name} does not exist"
+                ) from exc
+            ver = props.get(self._MARKER_PROP)
+            if ver is None:
+                raise RuntimeError(
+                    f"cannot {action}: {name} has no {self._MARKER_PROP} "
+                    "table property — written by a pre-v2 build whose "
+                    "payload layout this decoder does not read. Re-encode "
+                    "the store (resume=False)."
+                )
+            if int(ver) != FORMAT_VERSION:
+                raise RuntimeError(
+                    f"cannot {action}: {name} is payload format v{ver}, "
+                    f"this build reads/writes v{FORMAT_VERSION}. Re-encode "
+                    "the store (resume=False) or use a matching build."
+                )
+            return
         if "://" in self.out_dir:
             return
         try:
@@ -144,6 +200,8 @@ class EncodeJob:
 
     def _read_manifest(self) -> DataFrame | None:
         try:
+            if self.table_prefix is not None:
+                return self.spark.read.table(self._tbl("chunk_manifest"))
             return self.spark.read.parquet(self.chunk_manifest_path)
         except Exception:
             return None
@@ -173,7 +231,7 @@ class EncodeJob:
         t0 = time.time()
         if resume:
             self._check_format_marker("resume-append onto store")
-        else:
+        elif self.table_prefix is None:
             os.makedirs(self.out_dir, exist_ok=True)
             self._write_format_marker()
         if corpus_path is not None and not resume:
@@ -208,21 +266,40 @@ class EncodeJob:
         )
         # payloads are already entropy-coded; snappy on top costs CPU
         # for ~no size win
-        out.write.mode(mode).option("compression", "none").parquet(self.encoded_path)
+        if self.table_prefix is not None:
+            out.write.mode(mode).option("compression", "none").saveAsTable(
+                self._tbl("encoded")
+            )
+            if not resume:
+                self._write_format_marker()  # property needs the table
+            enc_src = self.spark.read.table(self._tbl("encoded"))
+        else:
+            out.write.mode(mode).option("compression", "none").parquet(
+                self.encoded_path
+            )
+            enc_src = self.spark.read.parquet(self.encoded_path)
 
         # manifest reflects the deduped logical table (appends are
         # at-least-once; resume counts depend on exact chunk counts).
         # project BEFORE deduping so the payload column never enters
         # the dedup shuffle (column pruning keeps the re-read cheap).
-        enc = (
-            self.spark.read.parquet(self.encoded_path)
-            .select(*CHUNK_MANIFEST_COLS)
-            .dropDuplicates(["doc_id", "chunk_idx"])
+        enc = enc_src.select(*CHUNK_MANIFEST_COLS).dropDuplicates(
+            ["doc_id", "chunk_idx"]
         )
-        chunk_manifest(enc).write.mode("overwrite").parquet(self.chunk_manifest_path)
-        partition_manifest(enc).write.mode("overwrite").parquet(
-            self.partition_manifest_path
-        )
+        if self.table_prefix is not None:
+            chunk_manifest(enc).write.mode("overwrite").saveAsTable(
+                self._tbl("chunk_manifest")
+            )
+            partition_manifest(enc).write.mode("overwrite").saveAsTable(
+                self._tbl("partition_manifest")
+            )
+        else:
+            chunk_manifest(enc).write.mode("overwrite").parquet(
+                self.chunk_manifest_path
+            )
+            partition_manifest(enc).write.mode("overwrite").parquet(
+                self.partition_manifest_path
+            )
 
         totals = enc.agg(
             F.count("*").alias("c"),
@@ -250,6 +327,8 @@ class EncodeJob:
 
     def encoded(self) -> DataFrame:
         self._check_format_marker("read store")
+        if self.table_prefix is not None:
+            return self.spark.read.table(self._tbl("encoded"))
         return self.spark.read.parquet(self.encoded_path)
 
     def decode(self) -> DataFrame:

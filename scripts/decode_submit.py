@@ -15,15 +15,26 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+_REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, _REPO)
+# local-mode Python WORKERS inherit PYTHONPATH from the driver env,
+# not the driver's sys.path — without this, running the CLI from any
+# other working directory fails with ModuleNotFoundError('tokseq') on
+# the executors. (On a cluster, --py-files tokseq.zip does this job.)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="EncodeJob out_dir")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="EncodeJob out_dir (path mode)")
+    src.add_argument("--input-table-prefix",
+                     help="catalog-mode store: the table_prefix the "
+                          "encode job wrote")
     ap.add_argument("--output", required=True)
     ap.add_argument("--chunks", action="store_true",
                     help="emit chunk rows instead of reassembled docs")
@@ -40,11 +51,12 @@ def main() -> None:
     from tokseq.engine import EncodeJob, get_spark
     from tokseq.engine.decode import decode_chunks
 
-    spark = get_spark(cores=args.cores, app_name="tokseq-decode")
-    # route through EncodeJob so the _tokseq_format.json marker guard
-    # applies: a pre-v2 store fails loudly here instead of decoding to
-    # silently wrong tokens (raw spark.read.parquet would bypass it)
-    job = EncodeJob(spark, args.input)
+    spark = get_spark(cores=args.cores, app_name="tokseq-decode",
+                      hive=args.input_table_prefix is not None)
+    # route through EncodeJob so the format marker guard applies (file
+    # in path mode, TBLPROPERTIES in catalog mode): a pre-v2 store
+    # fails loudly here instead of decoding to silently wrong tokens
+    job = EncodeJob(spark, args.input, table_prefix=args.input_table_prefix)
     if args.chunks:
         # chunk-granular output: dedup at-least-once appends explicitly
         out = decode_chunks(job.encoded().dropDuplicates(["doc_id", "chunk_idx"]))

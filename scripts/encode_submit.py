@@ -19,16 +19,29 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+_REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, _REPO)
+# local-mode Python WORKERS inherit PYTHONPATH from the driver env,
+# not the driver's sys.path — without this, running the CLI from any
+# other working directory fails with ModuleNotFoundError('tokseq') on
+# the executors. (On a cluster, --py-files tokseq.zip does this job.)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="parquet path or table name")
-    ap.add_argument("--output", required=True)
+    out = ap.add_mutually_exclusive_group(required=True)
+    out.add_argument("--output", help="output DIRECTORY (path mode)")
+    out.add_argument("--output-table-prefix",
+                     help="write catalog tables {prefix}_encoded / "
+                          "{prefix}_chunk_manifest / {prefix}_partition_"
+                          "manifest instead of a directory (Iceberg when "
+                          "a catalog is configured)")
     ap.add_argument("--table", action="store_true",
                     help="treat --input as a catalog (e.g. Iceberg) table name")
     ap.add_argument("--chunk-width", type=int, default=4096)
@@ -47,7 +60,8 @@ def main() -> None:
 
     from tokseq.engine import EncodeJob, get_spark
 
-    spark = get_spark(cores=args.cores, app_name="tokseq-encode")
+    spark = get_spark(cores=args.cores, app_name="tokseq-encode",
+                      hive=args.output_table_prefix is not None)
     job = EncodeJob(
         spark,
         args.output,
@@ -55,6 +69,7 @@ def main() -> None:
         n_buckets=args.buckets,
         enable_fsst=not args.no_fsst,
         workload=args.workload,
+        table_prefix=args.output_table_prefix,
     )
     if args.table:
         docs = spark.read.table(args.input)

@@ -19,8 +19,18 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     app_name: str = "tokseq",
+    hive: bool = False,
 ) -> SparkSession:
+    """``hive=True`` enables the Hive-compatible metastore so catalog
+    tables (EncodeJob table_prefix mode) PERSIST across sessions — the
+    default in-memory session catalog loses table metadata when the
+    process exits, which breaks encode-then-decode as two CLI runs.
+    Locally this is a Derby metastore_db under the working directory;
+    on a real deployment it is the shared metastore / Iceberg catalog
+    configured via spark-submit."""
     b = SparkSession.builder.appName(app_name)
+    if hive:
+        b = b.enableHiveSupport()
     if cores is not None:
         b = b.master(f"local[{cores}]")
         # local mode = one JVM; the 1g default heap OOMs the vectorized

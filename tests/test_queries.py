@@ -191,3 +191,25 @@ def test_pack_sequences_invariants(spark):
         for b, fill in fills.items():
             n_in_bin = sum(1 for r in members if r["bin_id"] == b)
             assert fill <= _PACK_BUDGET or n_in_bin == 1, (key, b, fill)
+
+
+def test_minimizer_sample_density_and_coverage(spark):
+    """Local-minimum sampling at window w picks interior positions
+    with probability 1/(2w-1) for random hashes — density must sit
+    near that, and every doc with >= k+2w tokens must contribute."""
+    from tokseq.queries import _MINIMIZER_W, QUERIES, tokenize_documents_md5
+
+    sf = "/root/testdata/sf0.001"
+    sel = QUERIES["minimizer_sample"](spark, sf)
+    docs = tokenize_documents_md5(spark, sf)
+    from pyspark.sql import functions as F
+
+    n_kmers = docs.select(
+        F.greatest(F.col("n_tok") - 2, F.lit(0)).alias("nk")
+    ).agg(F.sum("nk")).collect()[0][0]
+    n_sel = sel.count()
+    density = n_sel / n_kmers
+    expect = 1.0 / (2 * _MINIMIZER_W - 1)
+    assert 0.5 * expect < density < 2.0 * expect, (density, expect)
+    big = docs.filter(F.col("n_tok") >= 2 + 2 * _MINIMIZER_W).count()
+    assert sel.select("doc_id").distinct().count() >= big

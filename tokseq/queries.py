@@ -2295,3 +2295,76 @@ FROM probes
 
 QUERIES["random_access_gather"] = q_random_access_gather
 ORACLES["random_access_gather"] = ORACLE_RANDOM_ACCESS
+
+
+_MINIMIZER_W = 5  # window of consecutive k-mer positions (k = 3)
+
+
+def q_minimizer_sample(spark, sf_dir):
+    """MINIMIZER sampling — the reference library's primary downstream
+    consumer (it was built for SimdMinimizers,
+    /root/reference/README.md:15-22): sample the positions whose
+    rolling k-mer hash is the minimum of its neighborhood, giving a
+    ~1/w-density deterministic sketch of every sequence. Rendered
+    relationally: k-mer at p = (tok[p], tok[p+1], tok[p+2]) via LEAD,
+    hash = md5-prefix (cross-engine-stable), selected iff the hash
+    equals the MIN over the centered 2w-1 window — three window
+    functions over one per-doc sort, no UDF; the windowed-min rule is
+    applied IDENTICALLY on both engines so even hash ties (2^-32 per
+    window) cannot diverge the compare."""
+    docs = tokenize_documents_md5(spark, sf_dir)
+    pe = docs.select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        F.posexplode("tokens").alias("pos", "t"),
+    )
+    w0 = Window.partitionBy("doc_id").orderBy("pos")
+    km = pe.select(
+        "doc_id", "pos", "t",
+        F.lead("t", 1).over(w0).alias("t1"),
+        F.lead("t", 2).over(w0).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    h = F.conv(
+        F.md5(F.concat_ws("_", "t", "t1", "t2")).substr(1, 8), 16, 10
+    ).cast("long")
+    km = km.withColumn("h", h)
+    span = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_MINIMIZER_W - 1), _MINIMIZER_W - 1)
+    )
+    sel = km.withColumn("m", F.min("h").over(span)).filter(
+        F.col("h") == F.col("m")
+    )
+    return sel.select("doc_id", F.col("pos").cast("int").alias("pos"), "h")
+
+
+ORACLE_MINIMIZER = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS INTEGER) AS doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+         ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT
+           % 50257 AS t
+  FROM documents
+), km AS (
+  SELECT doc_id, pos, t,
+         LEAD(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+         LEAD(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM toks
+), hashed AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(
+            CAST(t AS VARCHAR) || '_' || CAST(t1 AS VARCHAR) || '_' ||
+            CAST(t2 AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM km WHERE t2 IS NOT NULL
+)
+SELECT doc_id, pos, h FROM (
+  SELECT doc_id, pos, h,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {_MINIMIZER_W - 1} PRECEDING
+                      AND {_MINIMIZER_W - 1} FOLLOWING) AS m
+  FROM hashed
+) WHERE h = m
+"""
+
+QUERIES["minimizer_sample"] = q_minimizer_sample
+ORACLES["minimizer_sample"] = ORACLE_MINIMIZER

@@ -196,3 +196,35 @@ def test_gather_slices_matches_source_and_prunes(spark, corpus_df, tmp_path):
         for _, _, p, k in probes
     )
     assert touched < enc.count() // 2
+
+
+def test_gather_slices_edges(spark, corpus_df, tmp_path):
+    """Edge probes: k=0 (empty slice), pos past the doc end (empty),
+    pos mid-doc with k overrunning the end (short read), and a doc_id
+    absent from the store (no row)."""
+    from tokseq.engine.lookup import gather_slices
+
+    out = str(tmp_path / "ge")
+    job = EncodeJob(spark, out, chunk_width=CHUNK_W, n_buckets=4)
+    job.run(corpus_df)
+    enc = job.encoded()
+
+    doc = corpus_df.filter(F.col("n_tok") > CHUNK_W).select(
+        "doc_id", "tokens"
+    ).first()
+    n = len(doc["tokens"])
+    probes = spark.createDataFrame(
+        [
+            (0, doc["doc_id"], 5, 0),            # k=0
+            (1, doc["doc_id"], n + 100, 4),      # fully past the end
+            (2, doc["doc_id"], n - 2, 50),       # short read at the end
+            (3, "no-such-doc", 0, 4),            # missing doc
+        ],
+        "probe_id int, doc_id string, pos long, k long",
+    )
+    got = {r["probe_id"]: list(r["tokens"])
+           for r in gather_slices(enc, probes, CHUNK_W).collect()}
+    assert got.get(0, []) == [] or 0 not in got  # empty slice (or no row)
+    assert got.get(1, []) == [] or 1 not in got
+    assert got[2] == list(doc["tokens"][n - 2 : n])  # truncated, exact
+    assert 3 not in got

@@ -25,7 +25,10 @@ sys.path.insert(0, _REPO)
 # not the driver's sys.path — without this, running the CLI from any
 # other working directory fails with ModuleNotFoundError('tokseq') on
 # the executors. (On a cluster, --py-files tokseq.zip does this job.)
-os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+_pp = os.environ.get("PYTHONPATH", "")
+# no trailing separator when PYTHONPATH was unset: an empty entry means
+# cwd on worker sys.path, reintroducing foreign-cwd shadowing hazards
+os.environ["PYTHONPATH"] = _REPO + (os.pathsep + _pp if _pp else "")
 
 
 def main() -> None:

@@ -3,6 +3,7 @@ must equal in-memory slices of the original tokens, and the plan must
 push the predicates to the parquet scan."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from tokseq.engine.lookup import point_lookup
@@ -199,9 +200,10 @@ def test_gather_slices_matches_source_and_prunes(spark, corpus_df, tmp_path):
 
 
 def test_gather_slices_edges(spark, corpus_df, tmp_path):
-    """Edge probes: k=0 (empty slice), pos past the doc end (empty),
-    pos mid-doc with k overrunning the end (short read), and a doc_id
-    absent from the store (no row)."""
+    """Edge probes: k=0 (dropped: deterministically no row), pos past
+    the doc end (empty or no row), k overrunning the end (short read),
+    a doc_id absent from the store (no row), and a NEGATIVE pos
+    (raises — int-cast truncation would silently alias chunk 0)."""
     from tokseq.engine.lookup import gather_slices
 
     out = str(tmp_path / "ge")
@@ -215,7 +217,7 @@ def test_gather_slices_edges(spark, corpus_df, tmp_path):
     n = len(doc["tokens"])
     probes = spark.createDataFrame(
         [
-            (0, doc["doc_id"], 5, 0),            # k=0
+            (0, doc["doc_id"], 5, 0),            # k=0 -> dropped
             (1, doc["doc_id"], n + 100, 4),      # fully past the end
             (2, doc["doc_id"], n - 2, 50),       # short read at the end
             (3, "no-such-doc", 0, 4),            # missing doc
@@ -224,7 +226,35 @@ def test_gather_slices_edges(spark, corpus_df, tmp_path):
     )
     got = {r["probe_id"]: list(r["tokens"])
            for r in gather_slices(enc, probes, CHUNK_W).collect()}
-    assert got.get(0, []) == [] or 0 not in got  # empty slice (or no row)
+    assert 0 not in got                          # k<=0 dropped
     assert got.get(1, []) == [] or 1 not in got
     assert got[2] == list(doc["tokens"][n - 2 : n])  # truncated, exact
     assert 3 not in got
+
+    neg = spark.createDataFrame(
+        [(0, doc["doc_id"], -1, 4)], "probe_id int, doc_id string, pos long, k long"
+    )
+    with pytest.raises(Exception, match="bad probe"):
+        gather_slices(enc, neg, CHUNK_W).collect()
+
+
+def test_gather_slices_raises_on_chunk_gap(spark, corpus_df, tmp_path):
+    """A LEADING or INTERIOR missing chunk (partially-written store)
+    must fail loudly — silently stitching chunk 0 + chunk 2 as
+    adjacent would hand back misaligned tokens (review r5 finding;
+    the same contract point_lookup enforces with its ValueError)."""
+    from tokseq.engine.lookup import gather_slices
+
+    out = str(tmp_path / "gap")
+    job = EncodeJob(spark, out, chunk_width=CHUNK_W, n_buckets=4)
+    job.run(corpus_df)
+    doc = corpus_df.filter(F.col("n_tok") > 2 * CHUNK_W).select("doc_id").first()
+    holey = job.encoded().filter(
+        ~((F.col("doc_id") == doc["doc_id"]) & (F.col("chunk_idx") == 1))
+    )
+    probes = spark.createDataFrame(
+        [(0, doc["doc_id"], 0, 3 * CHUNK_W)],
+        "probe_id int, doc_id string, pos long, k long",
+    )
+    with pytest.raises(Exception, match="chunk gap"):
+        gather_slices(holey, probes, CHUNK_W).collect()

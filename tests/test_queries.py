@@ -211,5 +211,12 @@ def test_minimizer_sample_density_and_coverage(spark):
     density = n_sel / n_kmers
     expect = 1.0 / (2 * _MINIMIZER_W - 1)
     assert 0.5 * expect < density < 2.0 * expect, (density, expect)
-    big = docs.filter(F.col("n_tok") >= 2 + 2 * _MINIMIZER_W).count()
-    assert sel.select("doc_id").distinct().count() >= big
+    # real coverage check (not just counts): no big doc may be ABSENT
+    # from the sample — anti-join must be empty
+    big_docs = docs.filter(F.col("n_tok") >= 2 + 2 * _MINIMIZER_W).select(
+        F.col("doc_id").cast("int").alias("doc_id")
+    )
+    missing = big_docs.join(
+        sel.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).count()
+    assert missing == 0

@@ -77,31 +77,46 @@ def gather_slices(encoded_df, probes_df, chunk_width: int = 4096):
     candidate chunks, ONLY those decode (the mapInArrow runs on the
     join output), each chunk contributes its declaratively-sliced
     piece, and an array_sort/flatten groupBy stitches pieces per
-    probe. Nothing outside the touched chunks is ever decoded; at
-    100 TB the join is the standard shuffle-or-broadcast hash join on
-    the chunk key. Short reads past the doc end truncate (as
-    point_lookup does); probes into missing docs return no row.
+    probe. Nothing outside the touched chunks is ever joined, deduped,
+    or decoded (the probe-key join prunes the store FIRST; the
+    at-least-once dedup runs on the touched subset only); at 100 TB
+    the join is the standard shuffle-or-broadcast hash join on the
+    chunk key. Short reads past the doc end truncate (as point_lookup
+    does); probes into missing docs return no row; probes with k <= 0
+    are dropped (deterministically: no row); a negative pos raises. A
+    LEADING or INTERIOR missing chunk (partially-written store) fails
+    the job loudly instead of silently stitching misaligned slices —
+    the same gap contract point_lookup enforces.
 
     Returns (probe_id, doc_id, pos, k, tokens array<int>)."""
     from .decode import decode_chunks
 
     W = chunk_width
-    pr = probes_df.select(
-        "probe_id", "doc_id",
-        F.col("pos").cast("long").alias("pos"),
-        F.col("k").cast("long").alias("k"),
-    ).withColumn(
-        "chunk_idx",
-        F.explode(
-            F.sequence(
-                (F.col("pos") / W).cast("int"),
-                ((F.col("pos") + F.greatest(F.col("k"), F.lit(1)) - 1) / W).cast("int"),
-            )
-        ),
+    pr = (
+        probes_df.select(
+            "probe_id", "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("k").cast("long").alias("k"),
+        )
+        .filter(F.col("k") > 0)
+        .withColumn(
+            "chunk_idx",
+            F.explode(
+                F.sequence(
+                    (F.col("pos") / W).cast("int"),
+                    ((F.col("pos") + F.col("k") - 1) / W).cast("int"),
+                )
+            ),
+        )
     )
-    enc = encoded_df.dropDuplicates(["doc_id", "chunk_idx"])
-    touched = pr.select("doc_id", "chunk_idx").distinct().join(
-        enc, ["doc_id", "chunk_idx"]
+    # prune the store to the touched chunk keys BEFORE deduping: a
+    # global dropDuplicates would shuffle every payload in the store
+    # for a handful of probes
+    touched = (
+        pr.select("doc_id", "chunk_idx")
+        .distinct()
+        .join(encoded_df, ["doc_id", "chunk_idx"])
+        .dropDuplicates(["doc_id", "chunk_idx"])
     )
     dec = decode_chunks(touched)
     hit = pr.join(dec, ["doc_id", "chunk_idx"])
@@ -111,7 +126,7 @@ def gather_slices(encoded_df, probes_df, chunk_width: int = 4096):
     piece = F.slice(
         "chunk_tokens", (lo + 1).cast("int"), F.greatest(hi - lo, F.lit(0)).cast("int")
     )
-    return (
+    out = (
         hit.select("probe_id", "doc_id", "pos", "k", "chunk_idx", piece.alias("piece"))
         .groupBy("probe_id", "doc_id", "pos", "k")
         .agg(
@@ -120,8 +135,28 @@ def gather_slices(encoded_df, probes_df, chunk_width: int = 4096):
                     F.array_sort(F.collect_list(F.struct("chunk_idx", "piece"))),
                     lambda s: s.getField("piece"),
                 )
-            ).alias("tokens")
+            ).alias("tokens"),
+            F.count("*").alias("_nch"),
+            F.min("chunk_idx").alias("_c0"),
+            F.max("chunk_idx").alias("_c1"),
         )
+    )
+    # gap guard (mirrors point_lookup's ValueError): the joined chunks
+    # must start at the probe's first chunk and be contiguous; only
+    # TRAILING chunks may be absent (short read past the doc end).
+    # pos >= 0 is asserted here too — int-cast truncation of a negative
+    # pos would silently alias chunk 0.
+    ok = (
+        (F.col("pos") >= 0)
+        & (F.col("_c0") == F.floor(F.col("pos") / W).cast("int"))
+        & (F.col("_c1") - F.col("_c0") + 1 == F.col("_nch"))
+    )
+    err = F.concat(
+        F.lit("gather_slices: chunk gap or bad probe for doc "),
+        F.col("doc_id"), F.lit(" at pos "), F.col("pos").cast("string"),
+    )
+    return out.filter(F.assert_true(ok, err).isNull()).select(
+        "probe_id", "doc_id", "pos", "k", "tokens"
     )
 
 

@@ -172,7 +172,9 @@ class EncodeJob:
                     "payload layout this decoder does not read. Re-encode "
                     "the store (resume=False)."
                 )
-            if int(ver) != FORMAT_VERSION:
+            # string compare: int(ver) on a hand-mangled property would
+            # raise a bare ValueError and lose the re-encode guidance
+            if str(ver).strip() != str(FORMAT_VERSION):
                 raise RuntimeError(
                     f"cannot {action}: {name} is payload format v{ver}, "
                     f"this build reads/writes v{FORMAT_VERSION}. Re-encode "

@@ -355,6 +355,15 @@ class EncodeJob:
 
         return agg_tokens(self.encoded(), *group_cols)
 
+    def gather(self, probes_df: DataFrame) -> DataFrame:
+        """Distributed batch random access over this store:
+        (probe_id, doc_id, pos, k) rows -> (probe_id, doc_id, pos, k,
+        tokens) slices, decoding only the touched chunks
+        (engine/lookup.py gather_slices)."""
+        from .lookup import gather_slices
+
+        return gather_slices(self.encoded(), probes_df, self.chunk_width)
+
     def count_tokens(self) -> DataFrame:
         """Token count from the chunk manifest — already deduped at
         write time, so no payload read AND no dedup exchange."""

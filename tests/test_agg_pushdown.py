@@ -250,3 +250,62 @@ def test_encodejob_count_uses_manifest(spark, tmp_path):
     assert job.count_tokens().collect()[0]["n_tokens"] == sum(
         pdf["n_tok"].to_pylist()
     )
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    shapes=st.lists(
+        st.tuples(st.integers(0, 700), st.integers(0, 6)), min_size=1, max_size=25
+    ),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_hypothesis_agg_kernel_matches_reference(shapes, seed):
+    """Property: for ANY chunk shapes (empty chunks included) across
+    all value regimes, the compressed-domain aggregates equal the
+    aggregates of the raw values — a bias slip in any codec's header
+    math would surface as a wrong sum here."""
+    rng = np.random.default_rng(seed)
+    chunks = []
+    for k, kind in shapes:
+        if kind == 0:
+            v = rng.integers(0, 4, k)
+        elif kind == 1:
+            v = 10**6 + rng.integers(0, 500, k)
+        elif kind == 2:
+            v = np.repeat(rng.integers(0, 256, k // 16 + 1), 16)[:k]
+        elif kind == 3:
+            v = rng.integers(0, 10**6, 30)[rng.integers(0, 30, k)] if k else rng.integers(0, 1, 0)
+        elif kind == 4:
+            v = rng.integers(0, 64, k)
+            m = rng.random(k) < 0.02
+            v[m] = rng.integers(0, 1 << 29, int(m.sum()))
+        elif kind == 5:
+            v = np.minimum(
+                np.exp(rng.random(k) * np.log(50257)).astype(np.int64) - 1, 50256
+            )
+        else:
+            v = rng.integers(0, 1 << 31, k)
+        chunks.append(np.asarray(v, dtype=np.int64))
+    values = (
+        np.concatenate(chunks).astype(np.int32)
+        if any(len(c) for c in chunks)
+        else np.zeros(0, np.int32)
+    )
+    offsets = np.concatenate(([0], np.cumsum([len(c) for c in chunks]))).astype(
+        np.int64
+    )
+    out = encode_batch_kernel(values, offsets)
+    sums, vmin, vmax, valid = agg_batch_kernel(
+        out["payload"], out["codec"], out["bit_width"], out["min_val"],
+        out["n_values"],
+    )
+    for i, c in enumerate(chunks):
+        if len(c) == 0:
+            assert not valid[i] and sums[i] == 0
+        else:
+            assert valid[i]
+            assert sums[i] == int(c.sum()), (i, out["codec"][i])
+            assert vmin[i] == int(c.min()) and vmax[i] == int(c.max())

@@ -231,11 +231,18 @@ def test_gather_slices_edges(spark, corpus_df, tmp_path):
     assert got[2] == list(doc["tokens"][n - 2 : n])  # truncated, exact
     assert 3 not in got
 
-    neg = spark.createDataFrame(
-        [(0, doc["doc_id"], -1, 4)], "probe_id int, doc_id string, pos long, k long"
-    )
-    with pytest.raises(Exception, match="bad probe"):
-        gather_slices(enc, neg, CHUNK_W).collect()
+    # negative pos: checked PROBE-SIDE, before chunk expansion — a pos
+    # <= -W would expand to negative chunk keys, join nothing, and be
+    # silently dropped like a missing doc (r5 ADVICE); both a small
+    # negative (old path: aliased toward chunk 0) and pos <= -W must
+    # raise the same loud error
+    for pos in (-1, -10 * CHUNK_W):
+        neg = spark.createDataFrame(
+            [(0, doc["doc_id"], pos, 4)],
+            "probe_id int, doc_id string, pos long, k long",
+        )
+        with pytest.raises(Exception, match="negative pos"):
+            gather_slices(enc, neg, CHUNK_W).collect()
 
 
 def test_gather_slices_raises_on_chunk_gap(spark, corpus_df, tmp_path):
@@ -258,3 +265,63 @@ def test_gather_slices_raises_on_chunk_gap(spark, corpus_df, tmp_path):
     )
     with pytest.raises(Exception, match="chunk gap"):
         gather_slices(holey, probes, CHUNK_W).collect()
+
+
+def test_gather_slices_broadcasts_small_probe_set(spark, corpus_df, tmp_path):
+    """A small probe set must turn the store-side join into a
+    BroadcastHashJoin (the store never shuffles — at 100 TB the
+    alternative is a full-store exchange for a handful of probes);
+    disabling the threshold keeps the generic shuffle join for
+    arbitrarily large probe tables."""
+    from tokseq.engine.lookup import gather_slices
+
+    out = str(tmp_path / "bc")
+    job = EncodeJob(spark, out, chunk_width=CHUNK_W, n_buckets=4)
+    job.run(corpus_df)
+    doc = corpus_df.filter(F.col("n_tok") > 10).select("doc_id", "tokens").first()
+    probes = spark.createDataFrame(
+        [(0, doc["doc_id"], 2, 5)], "probe_id int, doc_id string, pos long, k long"
+    )
+
+    small = gather_slices(job.encoded(), probes, CHUNK_W)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {r["probe_id"]: list(r["tokens"]) for r in small.collect()}
+    assert got[0] == list(doc["tokens"][2:7])
+
+    # threshold off -> no forced broadcast of the probe keys (AQE may
+    # still pick one at runtime; assert only the static plan)
+    big = gather_slices(job.encoded(), probes, CHUNK_W, broadcast_threshold=0)
+    assert {r["probe_id"]: list(r["tokens"]) for r in big.collect()} == got
+
+
+def test_encode_job_chunk_width_persisted(spark, corpus_df, tmp_path):
+    """The store remembers its chunk width (r5 ADVICE medium): a
+    default-width EncodeJob over an existing non-default-width store
+    ADOPTS the stored width (the decode-CLI scenario that silently
+    returned wrong tokens), and an explicit contradicting width fails
+    loudly instead of computing wrong chunk keys."""
+    out = str(tmp_path / "w")
+    job = EncodeJob(spark, out, chunk_width=CHUNK_W, n_buckets=4)
+    job.run(corpus_df)
+
+    # reopen with no width -> adopt the store's
+    reader = EncodeJob(spark, out)
+    assert reader.chunk_width == 4096  # pre-adoption default
+    reader.encoded()  # marker check runs here
+    assert reader.chunk_width == CHUNK_W
+
+    # the adopted width makes gather correct end to end
+    doc = corpus_df.filter(F.col("n_tok") > CHUNK_W + 10).select(
+        "doc_id", "tokens"
+    ).first()
+    probes = spark.createDataFrame(
+        [(0, doc["doc_id"], CHUNK_W - 2, 6)],
+        "probe_id int, doc_id string, pos long, k long",
+    )
+    got = reader.gather(probes).collect()
+    assert list(got[0]["tokens"]) == list(doc["tokens"][CHUNK_W - 2 : CHUNK_W + 4])
+
+    # explicit contradicting width -> loud failure, with the fix named
+    with pytest.raises(RuntimeError, match="chunk_width"):
+        EncodeJob(spark, out, chunk_width=1024).encoded()

@@ -65,7 +65,12 @@ def token_membership(encoded_df, token: int):
     )
 
 
-def gather_slices(encoded_df, probes_df, chunk_width: int = 4096):
+def gather_slices(
+    encoded_df,
+    probes_df,
+    chunk_width: int = 4096,
+    broadcast_threshold: int = 100_000,
+):
     """DISTRIBUTED batch random access: gather ``tokens[pos : pos+k]``
     for a whole TABLE of probes (doc_id, pos, k) — the reference's
     ``read_kmer`` workload (src/test.rs:891-920) at cluster scale,
@@ -81,9 +86,17 @@ def gather_slices(encoded_df, probes_df, chunk_width: int = 4096):
     or decoded (the probe-key join prunes the store FIRST; the
     at-least-once dedup runs on the touched subset only); at 100 TB
     the join is the standard shuffle-or-broadcast hash join on the
-    chunk key. Short reads past the doc end truncate (as point_lookup
+    chunk key — and for the COMMON case of a small probe set (up to
+    ``broadcast_threshold`` probes, counted with a bounded
+    ``limit(threshold+1)`` probe) the touched chunk keys are
+    explicitly broadcast, so the store side never shuffles at all:
+    the join degenerates to a map-side filter over the store scan.
+    Short reads past the doc end truncate (as point_lookup
     does); probes into missing docs return no row; probes with k <= 0
-    are dropped (deterministically: no row); a negative pos raises. A
+    are dropped (deterministically: no row); a negative pos raises
+    (checked on the probe side, BEFORE chunk expansion — a pos <= -W
+    would otherwise expand to negative chunk keys, join nothing, and
+    vanish like a missing doc instead of failing). A
     LEADING or INTERIOR missing chunk (partially-written store) fails
     the job loudly instead of silently stitching misaligned slices —
     the same gap contract point_lookup enforces.
@@ -92,6 +105,10 @@ def gather_slices(encoded_df, probes_df, chunk_width: int = 4096):
     from .decode import decode_chunks
 
     W = chunk_width
+    neg_err = F.concat(
+        F.lit("gather_slices: negative pos for doc "), F.col("doc_id"),
+        F.lit(" at pos "), F.col("pos").cast("string"),
+    )
     pr = (
         probes_df.select(
             "probe_id", "doc_id",
@@ -99,6 +116,9 @@ def gather_slices(encoded_df, probes_df, chunk_width: int = 4096):
             F.col("k").cast("long").alias("k"),
         )
         .filter(F.col("k") > 0)
+        # assert-in-filter: raises at execution on any negative pos and
+        # cannot be column-pruned away
+        .filter(F.assert_true(F.col("pos") >= 0, neg_err).isNull())
         .withColumn(
             "chunk_idx",
             F.explode(
@@ -112,9 +132,15 @@ def gather_slices(encoded_df, probes_df, chunk_width: int = 4096):
     # prune the store to the touched chunk keys BEFORE deduping: a
     # global dropDuplicates would shuffle every payload in the store
     # for a handful of probes
+    keys = pr.select("doc_id", "chunk_idx").distinct()
+    if broadcast_threshold and broadcast_threshold > 0:
+        # bounded count: limit(threshold+1) caps the probe-side work at
+        # threshold+1 rows no matter how large the probe table is
+        n_probe = probes_df.limit(broadcast_threshold + 1).count()
+        if n_probe <= broadcast_threshold:
+            keys = F.broadcast(keys)
     touched = (
-        pr.select("doc_id", "chunk_idx")
-        .distinct()
+        keys
         .join(encoded_df, ["doc_id", "chunk_idx"])
         .dropDuplicates(["doc_id", "chunk_idx"])
     )

@@ -63,7 +63,7 @@ class EncodeJob:
         self,
         spark: SparkSession,
         out_dir: str | None = None,
-        chunk_width: int = DEFAULT_CHUNK_WIDTH,
+        chunk_width: int | None = None,
         n_buckets: int = DEFAULT_BUCKETS,
         enable_fsst: bool = True,
         num_partitions: int | None = None,
@@ -83,8 +83,16 @@ class EncodeJob:
         under the warehouse dir; point ``table_prefix`` at a
         configured Iceberg catalog (``catalog.db.name`` — needs the
         Iceberg runtime jar, absent in this sandbox) and the SAME code
-        writes Iceberg tables, snapshots and all."""
-        if chunk_width < 16:
+        writes Iceberg tables, snapshots and all.
+
+        ``chunk_width=None`` (default) means "the store's width": read
+        paths adopt the width persisted in the format marker /
+        TBLPROPERTIES, and a fresh encode uses DEFAULT_CHUNK_WIDTH. An
+        EXPLICIT width that contradicts an existing store's marker
+        fails loudly — chunk keys (``pos // W``) are meaningless under
+        the wrong width and single-chunk gathers would return silently
+        wrong tokens."""
+        if chunk_width is not None and chunk_width < 16:
             # W=1-ish widths explode row counts (one row per token) and
             # drown the engine in per-chunk headers
             raise ValueError(f"chunk_width must be >= 16, got {chunk_width}")
@@ -93,7 +101,8 @@ class EncodeJob:
         self.spark = spark
         self.out_dir = out_dir
         self.table_prefix = table_prefix
-        self.chunk_width = chunk_width
+        self._chunk_width_explicit = chunk_width is not None
+        self.chunk_width = chunk_width or DEFAULT_CHUNK_WIDTH
         self.n_buckets = n_buckets
         self.enable_fsst = enable_fsst
         self.num_partitions = num_partitions or spark.sparkContext.defaultParallelism
@@ -123,6 +132,7 @@ class EncodeJob:
         return f"{self.table_prefix}_{which}"
 
     _MARKER_PROP = "tokseq.format_version"
+    _WIDTH_PROP = "tokseq.chunk_width"
 
     @property
     def format_marker_path(self) -> str:
@@ -136,13 +146,45 @@ class EncodeJob:
             # AFTER the table exists
             self.spark.sql(
                 f"ALTER TABLE {self._tbl('encoded')} SET TBLPROPERTIES "
-                f"('{self._MARKER_PROP}' = '{FORMAT_VERSION}')"
+                f"('{self._MARKER_PROP}' = '{FORMAT_VERSION}', "
+                f"'{self._WIDTH_PROP}' = '{self.chunk_width}')"
             )
             return
         if "://" in self.out_dir:  # raw object-store path: no local file
             return
         with open(self.format_marker_path, "w") as f:
-            json.dump({"format_version": FORMAT_VERSION}, f)
+            json.dump(
+                {
+                    "format_version": FORMAT_VERSION,
+                    # chunk keys are pos // W: the store must remember W
+                    # or a reader with the wrong width computes wrong
+                    # keys (and single-chunk gathers pass the gap guard
+                    # with silently wrong tokens)
+                    "chunk_width": self.chunk_width,
+                    "n_buckets": self.n_buckets,
+                },
+                f,
+            )
+
+    def _apply_stored_width(self, stored, action: str) -> None:
+        """Validate (explicit width) or adopt (default width) the
+        chunk_width persisted with the store. Stores written before the
+        width was persisted carry None — nothing to check."""
+        if stored is None:
+            return
+        stored = int(stored)
+        if not self._chunk_width_explicit:
+            self.chunk_width = stored
+            return
+        if stored != self.chunk_width:
+            raise RuntimeError(
+                f"cannot {action}: store was written with chunk_width="
+                f"{stored} but this job was constructed with "
+                f"chunk_width={self.chunk_width}. Chunk keys (pos // W) "
+                "do not line up across widths — pass "
+                f"chunk_width={stored} (or omit it to adopt the "
+                "store's)."
+            )
 
     def _check_format_marker(self, action: str) -> None:
         """Refuse to mix payload format versions in one store. Payloads
@@ -180,12 +222,14 @@ class EncodeJob:
                     f"this build reads/writes v{FORMAT_VERSION}. Re-encode "
                     "the store (resume=False) or use a matching build."
                 )
+            self._apply_stored_width(props.get(self._WIDTH_PROP), action)
             return
         if "://" in self.out_dir:
             return
         try:
             with open(self.format_marker_path) as f:
-                ver = json.load(f).get("format_version")
+                marker = json.load(f)
+            ver = marker.get("format_version")
         except FileNotFoundError:
             raise RuntimeError(
                 f"cannot {action}: {self.out_dir} has no _tokseq_format.json "
@@ -199,6 +243,7 @@ class EncodeJob:
                 f"this build reads/writes v{FORMAT_VERSION}. Re-encode the "
                 "store (resume=False) or use a matching tokseq build."
             )
+        self._apply_stored_width(marker.get("chunk_width"), action)
 
     def _read_manifest(self) -> DataFrame | None:
         try:
@@ -362,7 +407,11 @@ class EncodeJob:
         (engine/lookup.py gather_slices)."""
         from .lookup import gather_slices
 
-        return gather_slices(self.encoded(), probes_df, self.chunk_width)
+        # encoded() first: it validates (or adopts) the chunk width
+        # persisted with the store BEFORE self.chunk_width is used to
+        # compute chunk keys
+        enc = self.encoded()
+        return gather_slices(enc, probes_df, self.chunk_width)
 
     def count_tokens(self) -> DataFrame:
         """Token count from the chunk manifest — already deduped at

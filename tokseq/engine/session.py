@@ -8,6 +8,8 @@ handling are runtime-adaptive.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 # chunk rows carry up to chunk_width int32 values (~16 KB at 4096);
@@ -20,17 +22,38 @@ def get_spark(
     shuffle_partitions: int | None = None,
     app_name: str = "tokseq",
     hive: bool = False,
+    warehouse_dir: str | None = None,
 ) -> SparkSession:
     """``hive=True`` enables the Hive-compatible metastore so catalog
     tables (EncodeJob table_prefix mode) PERSIST across sessions — the
     default in-memory session catalog loses table metadata when the
     process exits, which breaks encode-then-decode as two CLI runs.
-    Locally this is a Derby metastore_db under the working directory;
-    on a real deployment it is the shared metastore / Iceberg catalog
-    configured via spark-submit."""
+    Locally this is a Derby metastore_db; its home and the warehouse
+    dir are pinned to an ABSOLUTE user-anchored path (default
+    ``~/.tokseq``, override with ``warehouse_dir`` or
+    ``$TOKSEQ_WAREHOUSE``) so encode and decode CLIs find the same
+    catalog from ANY working directory — cwd-relative Derby would make
+    "encode from dirA, decode from dirB" fail with "table does not
+    exist". On a real deployment it is the shared metastore / Iceberg
+    catalog configured via spark-submit (these configs are then
+    supplied there and this default is unused)."""
     b = SparkSession.builder.appName(app_name)
     if hive:
-        b = b.enableHiveSupport()
+        root = os.path.abspath(
+            warehouse_dir
+            or os.environ.get("TOKSEQ_WAREHOUSE")
+            or os.path.join(os.path.expanduser("~"), ".tokseq")
+        )
+        os.makedirs(root, exist_ok=True)
+        b = (
+            b.enableHiveSupport()
+            .config("spark.sql.warehouse.dir", os.path.join(root, "warehouse"))
+            .config(
+                "javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={os.path.join(root, 'metastore_db')}"
+                ";create=true",
+            )
+        )
     if cores is not None:
         b = b.master(f"local[{cores}]")
         # local mode = one JVM; the 1g default heap OOMs the vectorized

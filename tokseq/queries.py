@@ -715,15 +715,26 @@ def q_store_token_membership(spark, sf_dir):
     the end-to-end path a user queries, where q_token_membership
     covers the in-memory plan. Same raw-text oracle: a hash match
     certifies prune soundness through the store roundtrip too."""
+    import atexit
     import os
+    import shutil
     import tempfile
+    import uuid
 
     from .engine import EncodeJob
     from .engine.lookup import token_membership
 
     docs = tokenize_documents_md5(spark, sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(tempfile.gettempdir(), f"tokseq_store_q_{tag}")
+    # pid+uuid in the path: concurrent driver/bench processes on one
+    # host must not overwrite each other's store mid-query. Cleanup at
+    # process exit (the returned DataFrame reads the store LAZILY — an
+    # eager rmtree here would race the driver's collect).
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"tokseq_store_q_{tag}_{os.getpid()}_{uuid.uuid4().hex[:8]}",
+    )
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     job = EncodeJob(spark, out_dir, chunk_width=4096)
     job.run(docs=docs)
     out = token_membership(job.encoded(), _PROBE_TOKEN)

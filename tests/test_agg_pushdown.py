@@ -36,12 +36,12 @@ def test_agg_kernel_matches_decode_on_mixed_fuzz():
     out = encode_batch_kernel(values, offsets)
     # the fuzz must exercise the two decode-skip paths
     assert {"rle", "dict"} <= set(out["codec"]), set(out["codec"])
-    sums, vmin, vmax, valid = agg_batch_kernel(
+    cnts, sums, vmin, vmax = agg_batch_kernel(
         out["payload"], out["codec"], out["bit_width"], out["min_val"],
         out["n_values"],
     )
     ref_s, ref_min, ref_max = _reference_aggs(chunks)
-    assert valid.all()
+    assert np.array_equal(cnts, np.asarray(out["n_values"]))
     assert np.array_equal(sums, ref_s)
     assert np.array_equal(vmin, ref_min)
     assert np.array_equal(vmax, ref_max)
@@ -86,18 +86,40 @@ def test_agg_kernel_per_codec_forced(codec_name):
         chunks.append(np.asarray(v, dtype=np.int64))
     codec = get_codec(codec_name)
     encs = [codec.encode(c) for c in chunks]
-    sums, vmin, vmax, valid = agg_batch_kernel(
+    ns = np.array([len(c) for c in chunks], dtype=np.int64)
+    cnts, sums, vmin, vmax = agg_batch_kernel(
         [e.payload for e in encs],
         [codec_name] * len(chunks),
         np.array([e.bit_width for e in encs]),
         np.array([e.min_val for e in encs]),
-        np.array([len(c) for c in chunks], dtype=np.int64),
+        ns,
     )
     ref_s, ref_min, ref_max = _reference_aggs(chunks)
-    assert valid.all()
+    assert np.array_equal(cnts, ns)
     assert np.array_equal(sums, ref_s), codec_name
     assert np.array_equal(vmin, ref_min), codec_name
     assert np.array_equal(vmax, ref_max), codec_name
+
+    # ranged variant against a per-chunk numpy reference: exercises
+    # the full-pass / boundary classification for THIS codec (the
+    # range straddles the value distribution so both cases occur)
+    allv = np.concatenate(chunks)
+    rlo, rhi = int(np.percentile(allv, 20)), int(np.percentile(allv, 80))
+    cnts, sums, vmin, vmax = agg_batch_kernel(
+        [e.payload for e in encs],
+        [codec_name] * len(chunks),
+        np.array([e.bit_width for e in encs]),
+        np.array([e.min_val for e in encs]),
+        ns,
+        lo=rlo,
+        hi=rhi,
+    )
+    for i, c in enumerate(chunks):
+        sel = c[(c >= rlo) & (c <= rhi)]
+        assert cnts[i] == len(sel), (codec_name, i)
+        assert sums[i] == int(sel.sum()), (codec_name, i)
+        if len(sel):
+            assert vmin[i] == int(sel.min()) and vmax[i] == int(sel.max())
 
 
 def test_agg_kernel_fsst_and_empty():
@@ -110,14 +132,14 @@ def test_agg_kernel_fsst_and_empty():
     c1 = words[rng.integers(0, 24, 501)].astype(np.int64)
     enc = FsstCodec().encode(c1)
     empty = get_codec("bitpack").encode(np.zeros(0, np.int64))
-    sums, vmin, vmax, valid = agg_batch_kernel(
+    cnts, sums, vmin, vmax = agg_batch_kernel(
         [enc.payload, empty.payload],
         ["fsst", "bitpack"],
         np.array([enc.bit_width, empty.bit_width]),
         np.array([enc.min_val, empty.min_val]),
         np.array([len(c1), 0], dtype=np.int64),
     )
-    assert valid.tolist() == [True, False]
+    assert cnts.tolist() == [len(c1), 0]
     assert sums[0] == c1.sum() and vmin[0] == c1.min() and vmax[0] == c1.max()
     assert sums[1] == 0
 
@@ -298,14 +320,204 @@ def test_hypothesis_agg_kernel_matches_reference(shapes, seed):
         np.int64
     )
     out = encode_batch_kernel(values, offsets)
-    sums, vmin, vmax, valid = agg_batch_kernel(
+    cnts, sums, vmin, vmax = agg_batch_kernel(
         out["payload"], out["codec"], out["bit_width"], out["min_val"],
         out["n_values"],
     )
     for i, c in enumerate(chunks):
         if len(c) == 0:
-            assert not valid[i] and sums[i] == 0
+            assert cnts[i] == 0 and sums[i] == 0
         else:
-            assert valid[i]
+            assert cnts[i] == len(c)
             assert sums[i] == int(c.sum()), (i, out["codec"][i])
             assert vmin[i] == int(c.min()) and vmax[i] == int(c.max())
+
+    # same property under a range predicate (boundary-chunk masking
+    # across every codec the selector picked for these shapes)
+    if len(values):
+        rlo = int(np.percentile(values, 25))
+        rhi = int(np.percentile(values, 75))
+        cnts, sums, vmin, vmax = agg_batch_kernel(
+            out["payload"], out["codec"], out["bit_width"], out["min_val"],
+            out["n_values"], lo=rlo, hi=rhi,
+        )
+        for i, c in enumerate(chunks):
+            sel = c[(c >= rlo) & (c <= rhi)]
+            assert cnts[i] == len(sel), (i, out["codec"][i])
+            assert sums[i] == int(sel.sum()), (i, out["codec"][i])
+            if len(sel):
+                assert vmin[i] == int(sel.min()), (i, out["codec"][i])
+                assert vmax[i] == int(sel.max()), (i, out["codec"][i])
+
+
+def test_agg_kernel_validity_mask():
+    """use_mask semantics: aggregates cover only positions whose
+    validity bit is CLEAR; chunks with mask=None keep the stored-token
+    aggregates; an all-masked chunk contributes nothing (cnt 0)."""
+    from tokseq.validity import pack_mask
+
+    rng = np.random.default_rng(3)
+    chunks, masks = [], []
+    for t in range(30):
+        k = int(rng.integers(1, 700))
+        v = rng.integers(0, 1 << int(rng.integers(2, 30)), k)
+        chunks.append(np.asarray(v, dtype=np.int64))
+        kind = t % 3
+        if kind == 0:
+            masks.append(None)
+        elif kind == 1:
+            m = rng.random(k) < 0.3
+            masks.append(pack_mask(m))
+        else:
+            masks.append(pack_mask(np.ones(k, bool)))  # all masked
+    from tokseq.engine.encode import encode_batch_kernel
+
+    values = np.concatenate(chunks).astype(np.int32)
+    offsets = np.concatenate(([0], np.cumsum([len(c) for c in chunks]))).astype(
+        np.int64
+    )
+    out = encode_batch_kernel(values, offsets)
+    cnts, sums, vmin, vmax = agg_batch_kernel(
+        out["payload"], out["codec"], out["bit_width"], out["min_val"],
+        out["n_values"], masks=masks,
+    )
+    from tokseq.validity import unpack_mask
+
+    for i, c in enumerate(chunks):
+        keep = (
+            c
+            if masks[i] is None
+            else c[~unpack_mask(masks[i], len(c))]
+        )
+        assert cnts[i] == len(keep), i
+        assert sums[i] == int(keep.sum()), i
+        if len(keep):
+            assert vmin[i] == int(keep.min()) and vmax[i] == int(keep.max())
+
+    # combined: mask AND range together
+    rlo = int(np.percentile(values, 30))
+    cnts, sums, vmin, vmax = agg_batch_kernel(
+        out["payload"], out["codec"], out["bit_width"], out["min_val"],
+        out["n_values"], lo=rlo, masks=masks,
+    )
+    for i, c in enumerate(chunks):
+        keep = c if masks[i] is None else c[~unpack_mask(masks[i], len(c))]
+        keep = keep[keep >= rlo]
+        assert cnts[i] == len(keep) and sums[i] == int(keep.sum()), i
+
+
+def test_agg_tokens_token_range_prunes_and_matches(spark, tmp_path):
+    """The 100-TB payoff of the predicate path: on a corpus whose docs
+    occupy disjoint value bands (narrow chunk zones), a range
+    aggregate (a) equals the decoded reference and (b) PRUNES most
+    chunks at the scan — candidate chunks << store chunks — with the
+    zone conjunct pushed into the parquet scan."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tokseq.engine import EncodeJob
+    from tokseq.engine.lookup import zone_range_filter
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for d in range(40):
+        base = d * 10_000
+        toks = (base + rng.integers(0, 2_000, 1500)).astype("int64")
+        rows.append(
+            {"doc_id": str(d), "source": f"s{d % 2}",
+             "tokens": toks.tolist(), "n_tok": len(toks),
+             "quality": [60] * len(toks)}
+        )
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    job = EncodeJob(spark, str(tmp_path / "zoned"), chunk_width=256, n_buckets=4)
+    job.run(docs=docs)
+
+    lo, hi = 50_000, 65_000  # covers docs 5 and 6's bands only
+    got = job.agg_tokens("source", token_range=(lo, hi)).collect()
+    want = {
+        r["source"]: r
+        for r in docs.select("source", F.explode("tokens").alias("t"))
+        .filter((F.col("t") >= lo) & (F.col("t") <= hi))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("t").alias("sum_tokens"),
+            F.min("t").alias("min_token"),
+            F.max("t").alias("max_token"),
+        )
+        .collect()
+    }
+    assert {r["source"] for r in got} == set(want)
+    for r in got:
+        w = want[r["source"]]
+        assert (r["n_tokens"], r["sum_tokens"], r["min_token"], r["max_token"]) \
+            == (w["n_tokens"], w["sum_tokens"], w["min_token"], w["max_token"])
+
+    enc = job.encoded()
+    total = enc.count()
+    cand = enc.filter(zone_range_filter(lo, hi)).count()
+    assert cand < total / 5, (cand, total)  # chunks decoded << store
+    # the min_val conjunct reaches the parquet scan
+    plan = (
+        enc.filter(zone_range_filter(lo, hi))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "min_val" in pushed, pushed
+
+
+def test_agg_tokens_masked_spark(spark):
+    """End-to-end masked aggregate on Spark: encode with a vocab cap
+    so out-of-vocab tokens carry mask bits, then agg_tokens(use_mask)
+    equals aggregates over in-vocab tokens only."""
+    from pyspark.sql import functions as F
+
+    from tokseq.datagen import generate_corpus
+    from tokseq.engine.agg import agg_tokens
+    from tokseq.engine.chunk import plan_chunks
+    from tokseq.engine.encode import encode_chunks
+
+    vocab = 512
+    docs = spark.createDataFrame(generate_corpus(scale=0.3, seed=29).to_pandas())
+    enc = encode_chunks(plan_chunks(docs, 256), mask_vocab=vocab).cache()
+    try:
+        got = agg_tokens(enc, "source", use_mask=True).collect()
+        want = {
+            r["source"]: r
+            for r in docs.select("source", F.explode("tokens").alias("t"))
+            .filter((F.col("t") >= 0) & (F.col("t") < vocab))
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_tokens"),
+                F.sum("t").alias("sum_tokens"),
+                F.min("t").alias("min_token"),
+                F.max("t").alias("max_token"),
+            )
+            .collect()
+        }
+        assert {r["source"] for r in got} == set(want)
+        for r in got:
+            w = want[r["source"]]
+            for k in ("n_tokens", "sum_tokens", "min_token", "max_token"):
+                assert r[k] == w[k], (r["source"], k)
+    finally:
+        enc.unpersist()
+
+
+def test_agg_filtered_dedups_duplicate_chunks(spark):
+    """At-least-once dedup must hold on the PREDICATE path too: a
+    duplicated chunk contributes once to a ranged aggregate."""
+    from tokseq.datagen import generate_corpus
+    from tokseq.engine.agg import agg_tokens
+    from tokseq.engine.chunk import plan_chunks
+    from tokseq.engine.encode import encode_chunks
+
+    docs = spark.createDataFrame(generate_corpus(scale=0.2, seed=9).to_pandas())
+    enc = encode_chunks(plan_chunks(docs, 256)).cache()
+    try:
+        rng = (100, 40_000)
+        clean = agg_tokens(enc, token_range=rng).collect()[0]
+        dup = enc.unionAll(enc.limit(7))
+        assert tuple(agg_tokens(dup, token_range=rng).collect()[0]) == tuple(clean)
+    finally:
+        enc.unpersist()

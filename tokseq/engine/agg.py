@@ -30,10 +30,23 @@ At 100 TB the difference is the whole job: a full-table sum becomes a
 scan of compressed payloads with a scalar combine, zero exchanges of
 token data.
 
-Semantics note: aggregates cover the tokens AS STORED — validity
-bitmaps (the nullable per-chunk ``mask`` column) ride separately and
-do not filter these aggregates, exactly matching the decode contract
-(decode_chunks returns all tokens; masks are a parallel stream).
+Predicates (round 6) compose the zone map with the kernel:
+``token_range=(lo, hi)`` restricts every aggregate to tokens in
+[lo, hi]. Chunks whose zone [min_val, min_val + 2^w) is DISJOINT from
+the range are pruned by a plain-column filter that reaches the
+parquet scan (row-group stats on min_val/bit_width — those chunks
+never leave storage); chunks whose zone is CONTAINED in the range
+take the unfiltered fast paths above (rle still never decodes); only
+boundary chunks pay a masked in-kernel reduction. ``use_mask=True``
+restricts aggregates to VALID positions (per-chunk validity bitmap
+clear — the reference's ambiguity-aware S7/S8 semantics applied to
+the compressed store); chunks with a null mask (all valid, the common
+case) keep the fast paths.
+
+Default semantics are unchanged: aggregates cover the tokens AS
+STORED — validity bitmaps ride separately unless ``use_mask=True`` is
+requested, exactly matching the decode contract (decode_chunks
+returns all tokens; masks are a parallel stream).
 """
 
 from __future__ import annotations
@@ -72,31 +85,77 @@ def agg_batch_kernel(
     widths: np.ndarray,
     mins: np.ndarray,
     ns: np.ndarray,
+    lo: int | None = None,
+    hi: int | None = None,
+    masks: list[bytes | None] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Per-chunk (sum, min, max) + validity WITHOUT materializing the
-    decoded table. Returns (sums i64, mins i64, maxs i64, valid bool);
-    empty chunks are invalid (sum 0, min/max meaningless -> null
-    upstream).
+    """Per-chunk (count, sum, min, max) WITHOUT materializing the
+    decoded table. Returns (cnts i64, sums i64, mins i64, maxs i64);
+    chunks contributing no token (empty, all out of range, all masked)
+    have cnt 0 and meaningless min/max -> null/dropped upstream.
+
+    ``lo``/``hi`` restrict the aggregates to tokens in [lo, hi];
+    ``masks`` (per-chunk 1-bit validity bitmaps, None = all valid)
+    restrict them to valid positions. Chunks where EVERY token passes
+    (no mask, and either no range or zone ⊆ [lo, hi] for an
+    exactly-bounded codec) take the unfiltered fast paths:
 
     rle: sum = Σ (run_val+bias)·run_len from the two run streams —
     O(runs) per chunk, batched across the group with the same
-    zero-extend joins the decoder uses. dict: min/max from the sorted
-    dictionary (first/last, O(1) per chunk after one batched unpack);
-    sum = histogram(indices)·dictionary. Everything else decodes
-    through decode_batch_kernel and reduces straight out of the flat
-    buffer (reduceat) — no per-token Python, no Arrow list emit."""
+    zero-extend joins the decoder uses — and a RANGE-boundary rle
+    chunk still only reads its run streams (the mask applies per run).
+    dict: min/max from the sorted dictionary (first/last, O(1) per
+    chunk after one batched unpack); sum = histogram(indices) ·
+    dictionary. Everything else decodes through decode_batch_kernel
+    and reduces straight out of the flat buffer (reduceat) — no
+    per-token Python, no Arrow list emit."""
     n_chunks = len(payloads)
     ns = np.asarray(ns, dtype=np.int64)
     mins_arr = np.asarray(mins, dtype=np.int64)
+    widths_arr = np.asarray(widths, dtype=np.int64)
     codec_arr = np.asarray(codecs)
+    cnts = np.zeros(n_chunks, np.int64)
     sums = np.zeros(n_chunks, np.int64)
     vmin = np.zeros(n_chunks, np.int64)
     vmax = np.zeros(n_chunks, np.int64)
-    valid = ns > 0
-    done = ~valid
+    nonempty = ns > 0
+    ranged = lo is not None or hi is not None
+    if ranged:
+        lo = int(-(2**62) if lo is None else lo)
+        hi = int(2**62 if hi is None else hi)
+        if lo > hi:
+            raise ValueError(f"empty token range [{lo}, {hi}]")
+    if masks is not None:
+        has_mask = np.fromiter(
+            (m is not None for m in masks), bool, count=n_chunks
+        )
+    else:
+        has_mask = np.zeros(n_chunks, bool)
+
+    # full-pass classification: every stored token contributes. The
+    # zone [min_val, min_val + 2^w) bounds exactly for the
+    # frame-of-reference family; the patched codecs store exceptions
+    # WIDER than bit_width, so containment cannot be concluded for
+    # them (they stay boundary chunks — still correct, just masked).
+    if ranged:
+        ztop = mins_arr + (np.int64(1) << np.minimum(widths_arr, 62)) - 1
+        exact = (~np.isin(codec_arr, ("pfor", "pfor_ef"))) & (
+            widths_arr < 62
+        )
+        full = (
+            nonempty
+            & ~has_mask
+            & exact
+            & (mins_arr >= lo)
+            & (ztop <= hi)
+        )
+    else:
+        full = nonempty & ~has_mask
+    cnts[full] = ns[full]
+    done = ~full
 
     # --- rle: the true decode-skip (run streams only)
-    grp = np.flatnonzero((codec_arr == "rle") & valid)
+    grp = np.flatnonzero((codec_arr == "rle") & full)
     if len(grp):
         from ..codecs.simple import RleCodec
 
@@ -127,7 +186,7 @@ def agg_batch_kernel(
     # --- dict: min/max from the dictionary (sorted ascending by
     # construction — np.unique / bincount-rank LUT both emit sorted),
     # sum from the narrow index stream
-    grp = np.flatnonzero((codec_arr == "dict") & valid)
+    grp = np.flatnonzero((codec_arr == "dict") & full)
     if len(grp):
         from ..codecs import packed_size, unpack_bits_le
         from ..codecs.simple import DictCodec
@@ -183,9 +242,9 @@ def agg_batch_kernel(
             )
         done[grp] = True
 
-    # --- everything else: decode inside the kernel, reduce to
-    # registers (the flat buffer dies here — nothing is emitted)
-    rest = np.flatnonzero(~done)
+    # --- remaining full-pass chunks: decode inside the kernel, reduce
+    # to registers (the flat buffer dies here — nothing is emitted)
+    rest = np.flatnonzero(full & ~done)
     if len(rest):
         flat, offs = decode_batch_kernel(
             [payloads[i] for i in rest],
@@ -200,56 +259,191 @@ def agg_batch_kernel(
         vmin[rest] = np.minimum.reduceat(flat, b)
         vmax[rest] = np.maximum.reduceat(flat, b)
 
-    return sums, vmin, vmax, valid
+    # === boundary chunks: a predicate or validity mask applies ===
+    partial = nonempty & ~full
+    if not partial.any():
+        return cnts, sums, vmin, vmax
+    BIG = np.int64(2**62)
 
+    # --- rle boundary chunks (range predicate, no validity mask):
+    # STILL no decode — the range mask applies per run, O(runs)
+    prle = np.flatnonzero(
+        partial & (codec_arr == "rle") & ~has_mask
+    ) if ranged else np.zeros(0, np.int64)
+    if len(prle):
+        from ..codecs.simple import RleCodec
 
-def _agg_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    for batch in batches:
-        if batch.num_rows == 0:
-            continue
-        ns = batch.column("n_values").to_numpy(zero_copy_only=False)
-        sums, vmin, vmax, valid = agg_batch_kernel(
-            batch.column("payload").to_pylist(),
-            batch.column("codec").to_pylist(),
-            batch.column("bit_width").to_numpy(zero_copy_only=False),
-            batch.column("min_val").to_numpy(zero_copy_only=False),
-            ns,
+        hdr = RleCodec._HDR
+        hsz = hdr.size
+        harr = np.array(
+            [hdr.unpack_from(payloads[i], 0) for i in prle], dtype=np.int64
         )
-        mask = ~valid  # numpy bool mask: null min/max for empty chunks
-        yield pa.RecordBatch.from_arrays(
-            [
-                batch.column("doc_id"),
-                batch.column("chunk_idx").cast(pa.int32()),
-                batch.column("source"),
-                pa.array(np.asarray(ns, np.int64), pa.int64()),
-                pa.array(sums, pa.int64()),
-                pa.Array.from_pandas(vmin, mask=mask, type=pa.int64()),
-                pa.Array.from_pandas(vmax, mask=mask, type=pa.int64()),
-            ],
-            schema=_AGG_PA_SCHEMA,
+        n_runs, wvs, wls = harr[:, 0], harr[:, 1], harr[:, 2]
+        vend = hsz + (n_runs * wvs + 7) // 8
+        lend = vend + (n_runs * wls + 7) // 8
+        total = int(n_runs.sum())
+        run_vals = np.empty(total, np.int64)
+        run_lens = np.empty(total, np.int64)
+        _gather_padded_streams(
+            payloads, prle, np.full(len(prle), hsz, dtype=np.int64), vend,
+            wvs, n_runs, run_vals, add=mins_arr[prle],
         )
+        _gather_padded_streams(payloads, prle, vend, lend, wls, n_runs, run_lens)
+        run_lens += 1
+        m = (run_vals >= lo) & (run_vals <= hi)
+        b = np.concatenate(([0], np.cumsum(n_runs[:-1]))).astype(np.int64)
+        mi = m.astype(np.int64)
+        cnts[prle] = np.add.reduceat(run_lens * mi, b)
+        sums[prle] = np.add.reduceat(run_vals * run_lens * mi, b)
+        vmin[prle] = np.minimum.reduceat(np.where(m, run_vals, BIG), b)
+        vmax[prle] = np.maximum.reduceat(np.where(m, run_vals, -BIG), b)
+
+    # --- everything else on the boundary: decode in-kernel, build the
+    # positional pass mask (range ∧ validity), segment-reduce. dict
+    # boundary chunks land here too: their cost is dominated by the
+    # O(n) index stream either way, so the histogram shortcut buys
+    # nothing once a mask applies.
+    pset = partial.copy()
+    if len(prle):
+        pset[prle] = False
+    prest = np.flatnonzero(pset)
+    if len(prest):
+        from ..validity import unpack_mask
+
+        flat, offs = decode_batch_kernel(
+            [payloads[i] for i in prest],
+            [codecs[i] for i in prest],
+            np.asarray(widths)[prest],
+            mins_arr[prest],
+            ns[prest],
+        )
+        f64 = flat.astype(np.int64)
+        m = np.ones(len(flat), bool)
+        if ranged:
+            m &= (f64 >= lo) & (f64 <= hi)
+        for t, i in enumerate(prest):
+            if has_mask[i]:
+                m[offs[t] : offs[t + 1]] &= ~unpack_mask(
+                    masks[i], int(ns[i])
+                )
+        b = offs[:-1]
+        mi = m.astype(np.int64)
+        cnts[prest] = np.add.reduceat(mi, b)
+        sums[prest] = np.add.reduceat(f64 * mi, b)
+        vmin[prest] = np.minimum.reduceat(np.where(m, f64, BIG), b)
+        vmax[prest] = np.maximum.reduceat(np.where(m, f64, -BIG), b)
+
+    return cnts, sums, vmin, vmax
 
 
-def agg_chunks(encoded_df: DataFrame) -> DataFrame:
+def _agg_map_factory(
+    lo: int | None, hi: int | None, use_mask: bool
+):
+    filtered = (lo is not None) or (hi is not None) or use_mask
+
+    def _agg_map(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ns = batch.column("n_values").to_numpy(zero_copy_only=False)
+            cnts, sums, vmin, vmax = agg_batch_kernel(
+                batch.column("payload").to_pylist(),
+                batch.column("codec").to_pylist(),
+                batch.column("bit_width").to_numpy(zero_copy_only=False),
+                batch.column("min_val").to_numpy(zero_copy_only=False),
+                ns,
+                lo,
+                hi,
+                batch.column("mask").to_pylist() if use_mask else None,
+            )
+            doc_id = batch.column("doc_id")
+            chunk_idx = batch.column("chunk_idx").cast(pa.int32())
+            source = batch.column("source")
+            if filtered:
+                # chunks contributing nothing are dropped here: the
+                # group-by downstream then matches SQL semantics
+                # (groups appear iff >= 1 token passes), and zero rows
+                # enter the exchange for fully-pruned regions
+                sel = np.flatnonzero(cnts > 0)
+                if len(sel) == 0:
+                    continue
+                if len(sel) < batch.num_rows:
+                    take = pa.array(sel)
+                    doc_id = doc_id.take(take)
+                    chunk_idx = chunk_idx.take(take)
+                    source = source.take(take)
+                    cnts, sums, vmin, vmax = (
+                        cnts[sel], sums[sel], vmin[sel], vmax[sel]
+                    )
+            null_mask = cnts == 0  # numpy bool: null min/max, no tokens
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_id,
+                    chunk_idx,
+                    source,
+                    pa.array(cnts, pa.int64()),
+                    pa.array(sums, pa.int64()),
+                    pa.Array.from_pandas(vmin, mask=null_mask, type=pa.int64()),
+                    pa.Array.from_pandas(vmax, mask=null_mask, type=pa.int64()),
+                ],
+                schema=_AGG_PA_SCHEMA,
+            )
+
+    return _agg_map
+
+
+def agg_chunks(
+    encoded_df: DataFrame,
+    token_range: tuple[int | None, int | None] | None = None,
+    use_mask: bool = False,
+) -> DataFrame:
     """Encoded table -> one summary row per chunk: (doc_id, chunk_idx,
     source, n_values, sum_val, min_val, max_val) of the DECODED
     tokens, computed in the compressed domain (see module doc). No
     shuffle — a narrow map over the scan. chunk_idx is carried so
     consumers can dedup at-least-once duplicate chunks (resume
     appends) downstream; duplicate chunks have byte-identical
-    payloads, so their summary rows are identical too."""
+    payloads, so their summary rows are identical too.
+
+    ``token_range=(lo, hi)`` restricts the aggregates to tokens in
+    [lo, hi] (either side None = unbounded) and PRE-PRUNES chunks
+    whose zone map excludes the range with a plain-column filter the
+    parquet scan can answer from row-group statistics — pruned chunks
+    never leave storage. n_values then counts MATCHING tokens and
+    zero-match chunks emit no row. ``use_mask=True`` additionally
+    (or independently) restricts to valid positions per the chunk's
+    validity bitmap."""
+    from .lookup import zone_range_filter
+
     cols = ["doc_id", "chunk_idx", "source", "codec", "bit_width",
             "n_values", "min_val", "payload"]
-    return encoded_df.select(*cols).mapInArrow(_agg_map, AGG_CHUNK_SCHEMA)
+    lo = hi = None
+    if token_range is not None:
+        lo, hi = token_range
+        encoded_df = encoded_df.filter(zone_range_filter(lo, hi))
+    if use_mask:
+        cols.append("mask")
+    return encoded_df.select(*cols).mapInArrow(
+        _agg_map_factory(lo, hi, use_mask), AGG_CHUNK_SCHEMA
+    )
 
 
-def agg_tokens(encoded_df: DataFrame, *group_cols: str) -> DataFrame:
+def agg_tokens(
+    encoded_df: DataFrame,
+    *group_cols: str,
+    token_range: tuple[int | None, int | None] | None = None,
+    use_mask: bool = False,
+) -> DataFrame:
     """Exact (n_tokens, sum_tokens, min_token, max_token) per group
-    (default: whole table) answered from the encoded store. Resume
-    appends are at-least-once, so duplicate chunks are deduped on
-    (doc_id, chunk_idx) AFTER the kernel — the dedup exchange carries
-    ~56-byte summary rows, never payloads or decoded tokens."""
-    per_chunk = agg_chunks(encoded_df).dropDuplicates(["doc_id", "chunk_idx"])
+    (default: whole table) answered from the encoded store, optionally
+    restricted to a token range and/or valid positions (agg_chunks
+    doc). Resume appends are at-least-once, so duplicate chunks are
+    deduped on (doc_id, chunk_idx) AFTER the kernel — the dedup
+    exchange carries ~56-byte summary rows, never payloads or decoded
+    tokens."""
+    per_chunk = agg_chunks(encoded_df, token_range, use_mask).dropDuplicates(
+        ["doc_id", "chunk_idx"]
+    )
     grouped = (
         per_chunk.groupBy(*group_cols) if group_cols else per_chunk.groupBy()
     )

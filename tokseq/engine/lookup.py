@@ -20,29 +20,42 @@ from pyspark.sql import functions as F
 from ..codecs import get_codec
 
 
+def zone_range_filter(lo: int | None, hi: int | None):
+    """Zone-map predicate over the encoded table for a token RANGE
+    [lo, hi] (either side None = unbounded): chunk columns (min_val,
+    bit_width) bound every decoded value for the frame-of-reference
+    codec family — value ∈ [min_val, min_val + 2^bit_width) — so
+    chunks whose zone is DISJOINT from the range are pruned WITHOUT
+    decoding (the Parquet row-group min/max idea, applied one level
+    deeper: inside the compressed payloads). The patched codecs
+    (pfor/pfor_ef) store exceptions WIDER than bit_width, so they stay
+    conservative candidates whenever the range reaches past min_val."""
+    zone_top = F.col("min_val") + F.expr("shiftleft(1L, bit_width)") - 1
+    cond = F.lit(True)
+    if hi is not None:
+        # every codec is frame-of-reference-shifted, so value >= min_val
+        # holds unconditionally — keep this bound a TOP-LEVEL conjunct
+        # on a plain column so Spark pushes it to the parquet scan
+        # (row-group stats pruning on the min_val column)
+        cond = cond & (F.lit(int(hi)) >= F.col("min_val"))
+    if lo is not None:
+        cond = cond & (
+            (F.lit(int(lo)) <= zone_top)
+            | F.col("codec").isin("pfor", "pfor_ef")
+            # Spark masks shift counts to 6 bits, so shiftleft(1L, 64)
+            # == 1L and the top bound would collapse to min_val: treat
+            # width >= 64 as unbounded (unreachable under the int32
+            # token contract, but sound if the engine ever carries
+            # 64-bit values)
+            | (F.col("bit_width") >= 64)
+        )
+    return cond
+
+
 def zone_filter(token: int):
-    """Zone-map predicate over the encoded table: chunk columns
-    (min_val, bit_width) bound every decoded value for the
-    frame-of-reference codec family — value ∈ [min_val,
-    min_val + 2^bit_width) — so chunks whose zone excludes ``token``
-    are pruned WITHOUT decoding (the Parquet row-group min/max idea,
-    applied one level deeper: inside the compressed payloads). The
-    patched codecs (pfor/pfor_ef) store exceptions WIDER than
-    bit_width, so they stay conservative candidates."""
-    hi = F.col("min_val") + F.expr("shiftleft(1L, bit_width)") - 1
-    # every codec is frame-of-reference-shifted, so value >= min_val
-    # holds unconditionally — keep that bound OUTSIDE the codec OR so
-    # it survives as a top-level conjunct Spark can push to the
-    # parquet scan (row-group stats pruning on the min_val column)
-    return (F.lit(int(token)) >= F.col("min_val")) & (
-        (F.lit(int(token)) <= hi)
-        | F.col("codec").isin("pfor", "pfor_ef")
-        # Spark masks shift counts to 6 bits, so shiftleft(1L, 64) == 1L
-        # and the hi bound would collapse to min_val: treat width >= 64
-        # as unbounded (unreachable under the int32 token contract, but
-        # sound if the engine ever carries 64-bit values)
-        | (F.col("bit_width") >= 64)
-    )
+    """Single-token membership zone predicate: the range filter
+    degenerate case [token, token]."""
+    return zone_range_filter(int(token), int(token))
 
 
 def token_membership(encoded_df, token: int):

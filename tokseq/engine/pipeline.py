@@ -392,13 +392,24 @@ class EncodeJob:
     def summary(self) -> DataFrame:
         return codec_summary(self.encoded())
 
-    def agg_tokens(self, *group_cols: str) -> DataFrame:
+    def agg_tokens(
+        self,
+        *group_cols: str,
+        token_range: tuple[int | None, int | None] | None = None,
+        use_mask: bool = False,
+    ) -> DataFrame:
         """Exact (n_tokens, sum_tokens, min_token, max_token) per group
         answered IN the compressed domain (engine/agg.py) — no decoded
-        tokens are materialized or shuffled."""
+        tokens are materialized or shuffled. ``token_range`` restricts
+        to tokens in [lo, hi] with zone-map chunk pruning at the scan;
+        ``use_mask=True`` restricts to valid positions per the chunk
+        validity bitmaps."""
         from .agg import agg_tokens
 
-        return agg_tokens(self.encoded(), *group_cols)
+        return agg_tokens(
+            self.encoded(), *group_cols,
+            token_range=token_range, use_mask=use_mask,
+        )
 
     def gather(self, probes_df: DataFrame) -> DataFrame:
         """Distributed batch random access over this store:

@@ -707,6 +707,93 @@ FROM toks GROUP BY source
 """
 
 
+_AGG_RANGE = (1000, 9999)  # ~18% of the 50257-token domain
+
+
+def q_engine_agg_filtered(spark, sf_dir):
+    """PREDICATE pushdown into the compressed-domain aggregates
+    (round-6 headline): agg_tokens(token_range=...) answers per-source
+    (count, sum, min, max) over ONLY the tokens in [lo, hi] — chunks
+    whose zone map [min_val, min_val + 2^w) misses the range are
+    pruned by a plain-column filter at the parquet scan (their
+    payloads never leave storage), fully-contained chunks keep the
+    decode-skip fast paths (rle run streams, dict dictionary), and
+    only zone-boundary chunks pay an in-kernel masked reduction —
+    still emitting one ~56-byte summary row, never decoded tokens.
+    The reference's "aggregate packed data without unpacking"
+    (/root/reference/src/packed_ef_n_seq.rs:19-25) promoted to a
+    filtered query surface. DuckDB recomputes from raw text with a
+    WHERE clause — a hash match proves the zone/boundary
+    classification and masked kernels for the selector's codec mix."""
+    from .engine.agg import agg_tokens
+    from .engine.chunk import plan_chunks
+    from .engine.encode import encode_chunks
+
+    docs = tokenize_documents_md5(spark, sf_dir)
+    enc = encode_chunks(plan_chunks(docs, 4096))
+    return agg_tokens(enc, "source", token_range=_AGG_RANGE)
+
+
+ORACLE_AGG_FILTERED = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % 50257 AS tok
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents) t
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       CAST(MIN(tok) AS BIGINT) AS min_token,
+       CAST(MAX(tok) AS BIGINT) AS max_token
+FROM toks WHERE tok BETWEEN {_AGG_RANGE[0]} AND {_AGG_RANGE[1]}
+GROUP BY source
+"""
+
+
+_MASK_VOCAB = 32768  # tokens >= this carry a validity-mask bit
+
+
+def q_engine_agg_masked(spark, sf_dir):
+    """VALIDITY-AWARE compressed-domain aggregates: the encoder is
+    given a vocab cap so out-of-vocab tokens set bits in the per-chunk
+    1-bit validity bitmap (the reference's ambiguity bitmap,
+    /root/reference/src/packed_n_seq.rs:79-136), and
+    agg_tokens(use_mask=True) aggregates ONLY valid positions —
+    chunks with a null mask (all valid, the common case) keep the
+    decode-skip fast paths; masked chunks reduce under the bitmap
+    in-kernel. DuckDB applies the identical vocab rule in SQL."""
+    from .engine.agg import agg_tokens
+    from .engine.chunk import plan_chunks
+    from .engine.encode import encode_chunks
+
+    docs = tokenize_documents_md5(spark, sf_dir)
+    enc = encode_chunks(plan_chunks(docs, 4096), mask_vocab=_MASK_VOCAB)
+    out = agg_tokens(enc, "source", use_mask=True)
+    return out.select(
+        "source",
+        F.col("n_tokens").alias("n_valid"),
+        F.col("sum_tokens").alias("sum_valid"),
+        F.col("min_token").alias("min_valid"),
+        F.col("max_token").alias("max_valid"),
+    )
+
+
+ORACLE_AGG_MASKED = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % 50257 AS tok
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents) t
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(SUM(tok) AS BIGINT) AS sum_valid,
+       CAST(MIN(tok) AS BIGINT) AS min_valid,
+       CAST(MAX(tok) AS BIGINT) AS max_valid
+FROM toks WHERE tok >= 0 AND tok < {_MASK_VOCAB}
+GROUP BY source
+"""
+
+
 def q_store_token_membership(spark, sf_dir):
     """token_membership (zone-prune + selective decode) against the
     MATERIALIZED encoded store: EncodeJob write -> parquet read-back,
@@ -789,6 +876,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_floor_totals": q_engine_floor_totals,
     "token_membership": q_token_membership,
     "engine_agg_pushdown": q_engine_agg_pushdown,
+    "engine_agg_filtered": q_engine_agg_filtered,
+    "engine_agg_masked": q_engine_agg_masked,
     "store_token_membership": q_store_token_membership,
 }
 
@@ -818,6 +907,10 @@ ORACLES: dict[str, str] = {
     "token_membership": ORACLE_TOKEN_MEMBERSHIP,
     # aggregates answered IN the compressed domain vs raw-text oracle
     "engine_agg_pushdown": ORACLE_AGG_PUSHDOWN,
+    # zone-map-pruned range predicate through the same kernel
+    "engine_agg_filtered": ORACLE_AGG_FILTERED,
+    # validity-bitmap-restricted aggregates (vocab-cap mask rule)
+    "engine_agg_masked": ORACLE_AGG_MASKED,
     # same membership oracle through the materialized store roundtrip
     "store_token_membership": ORACLE_TOKEN_MEMBERSHIP,
     # engine_roundtrip / engine_codec_summary: rows-only (binary

@@ -270,6 +270,7 @@ def time_queries(
     names = [
         "e3_kmer_pack", "rle_run_detect", "selector_costmodel",
         "dedup_exact", "engine_roundtrip", "engine_agg_pushdown",
+        "engine_agg_filtered", "minimizer_sample",
     ]
     # warm the session (scheduler, python workers) so the first timed
     # query isn't billed for spin-up
@@ -418,10 +419,17 @@ def main() -> None:
     # cross-round face-value jump that r3->r4 left unadjudicated.
     write_retried = False
     write_firstpass = hi["encode_write_sec"]  # pre-retry wall, always
-    # recorded so the one-sided rerun-when-slow rule stays visible in
-    # the artifact (same reasoning as scaling_efficiency_firstpass)
+    # recorded so the conditional resampling stays visible in the
+    # artifact (same reasoning as scaling_efficiency_firstpass).
+    # SYMMETRIC trigger (r5 ADVICE): rerun on an anomalous move in
+    # EITHER direction — retry-only-when-slow plus keep-the-minimum
+    # was a one-sided rule that biased headline walls downward across
+    # rounds; resampling both tails removes the bias while still
+    # spending the extra child only when the answer looks noisy.
     prior_write = _prior_round_wall(f"encode_write_local{cpus}")
-    if prior_write and hi["encode_write_sec"] > 1.5 * prior_write:
+    if prior_write and not (
+        prior_write / 1.5 <= hi["encode_write_sec"] <= 1.5 * prior_write
+    ):
         hi2 = run_level(cpus, corpus, do_write=True)
         write_retried = True
         hi["encode_rep_walls"] = hi["encode_rep_walls"] + hi2["encode_rep_walls"]
@@ -485,6 +493,29 @@ def main() -> None:
         "vs_floor": round(hi["out_bytes"] / hi["floor_bytes"], 4),
         "decode_tokens_per_sec": round(hi["decode_tokens_per_sec"]),
     }
+    # embed the committed interleaved-A/B result (scripts/ab_bench.py)
+    # as first-class fields: the single-run walls above wander 2-3x
+    # with host noise epochs, so the artifact itself must carry the
+    # valid cross-round comparison (paired geomeans from alternating
+    # same-session runs) instead of leaving it to manual adjudication
+    ab_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "ab_latest.json"
+    )
+    if os.path.exists(ab_path):
+        try:
+            with open(ab_path) as f:
+                ab = json.load(f)
+            payload["ab_vs_prev"] = {
+                "baseline_rev": ab.get("baseline_rev"),
+                "measured_at": ab.get("measured_at"),
+                "reps": ab.get("reps"),
+                "paired_geomean_speedups": {
+                    k: v.get("geomean")
+                    for k, v in ab.get("paired_speedups", {}).items()
+                },
+            }
+        except (OSError, ValueError, KeyError):
+            pass
     write_report(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md"),
         payload, lo, mid, hi,

@@ -195,6 +195,13 @@ noisy shared host.)
             f"\nbytes/token: baseline {payload['bytes_per_token']['baseline']}"
             f" -> HEAD {payload['bytes_per_token']['head']}\n"
         )
+    # machine-readable copy for bench.py to embed as ab_vs_prev in the
+    # round's BENCH_r*.json (VERDICT r5 What's-wrong #2: the valid
+    # cross-round comparison should live IN the artifact, not need
+    # manual adjudication from a side file)
+    payload["measured_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(REPO / "BENCH" / "ab_latest.json", "w") as f:
+        json.dump(payload, f, indent=1)
     print(json.dumps(payload))
 
 

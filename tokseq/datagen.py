@@ -220,10 +220,26 @@ def generate_corpus(
 
     lens = np.concatenate(all_lens)
     vals = np.concatenate(all_vals).astype(np.int32)
-    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
-    tokens = pa.LargeListArray.from_arrays(offsets, pa.array(vals, pa.int32()))
-    # cast to regular list<int32> for Spark friendliness
-    tokens = tokens.cast(pa.list_(pa.int32()))
+    # list<int32> (Spark-friendly) carries 32-bit offsets, so ONE array
+    # cannot hold >= 2^31 values — a 16x weak-scaling corpus (3.7B
+    # tokens) must be built as a CHUNKED list column, each chunk under
+    # the offset budget (slices of `vals` are zero-copy)
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    budget = 2**31 - 2**20
+    pieces = []
+    r0, n_rows = 0, len(lens)
+    while r0 < n_rows:
+        r1 = int(np.searchsorted(cum, cum[r0] + budget, side="right")) - 1
+        r1 = min(max(r1, r0 + 1), n_rows)
+        offs = (cum[r0 : r1 + 1] - cum[r0]).astype(np.int32)
+        pieces.append(
+            pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()),
+                pa.array(vals[cum[r0] : cum[r1]], pa.int32()),
+            )
+        )
+        r0 = r1
+    tokens = pa.chunked_array(pieces, pa.list_(pa.int32()))
     return pa.table(
         {
             "doc_id": pa.array(np.concatenate(doc_ids), pa.string()),

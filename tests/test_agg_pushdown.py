@@ -521,3 +521,69 @@ def test_agg_filtered_dedups_duplicate_chunks(spark):
         assert tuple(agg_tokens(dup, token_range=rng).collect()[0]) == tuple(clean)
     finally:
         enc.unpersist()
+
+
+def test_count_tokens_ranged_payload_free_contained_side(spark, tmp_path):
+    """Ranged count: zone-CONTAINED chunks count through a
+    payload-free manifest-shaped scan (their ReadSchema omits
+    payload); only boundary chunks decode. Correctness vs the decoded
+    reference on both a zoned corpus and a generic one, including a
+    range with zero matches (count 0, not null) and duplicate-chunk
+    dedup."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tokseq.datagen import generate_corpus
+    from tokseq.engine import EncodeJob
+    from tokseq.engine.agg import count_tokens
+    from tokseq.engine.chunk import plan_chunks
+    from tokseq.engine.encode import encode_chunks
+
+    # zoned corpus: most chunks are provably contained or disjoint
+    rng = np.random.default_rng(23)
+    rows = []
+    for d in range(30):
+        base = d * 10_000
+        toks = (base + rng.integers(0, 2_000, 1200)).astype("int64")
+        rows.append({"doc_id": str(d), "source": "s",
+                     "tokens": toks.tolist(), "n_tok": len(toks),
+                     "quality": [60] * len(toks)})
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    job = EncodeJob(spark, str(tmp_path / "zc"), chunk_width=256, n_buckets=4)
+    job.run(docs=docs)
+    lo, hi = 30_000, 75_000
+    got = job.count_tokens(token_range=(lo, hi)).collect()[0]["n_tokens"]
+    want = (
+        docs.select(F.explode("tokens").alias("t"))
+        .filter((F.col("t") >= lo) & (F.col("t") <= hi))
+        .count()
+    )
+    assert got == want
+    # the contained side's scan is payload-free
+    plan = (
+        job.count_tokens(token_range=(lo, hi))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any("payload" not in l for l in schemas), schemas
+
+    # zero-match range -> 0 (not null)
+    assert job.count_tokens(token_range=(10**9, 2 * 10**9)).collect()[0][
+        "n_tokens"
+    ] == 0
+
+    # generic corpus + duplicated chunks
+    gdocs = spark.createDataFrame(generate_corpus(scale=0.2, seed=9).to_pandas())
+    enc = encode_chunks(plan_chunks(gdocs, 256)).cache()
+    try:
+        rng2 = (100, 40_000)
+        want2 = (
+            gdocs.select(F.explode("tokens").alias("t"))
+            .filter((F.col("t") >= rng2[0]) & (F.col("t") <= rng2[1]))
+            .count()
+        )
+        assert count_tokens(enc, rng2).collect()[0]["n_tokens"] == want2
+        dup = enc.unionAll(enc.limit(9))
+        assert count_tokens(dup, rng2).collect()[0]["n_tokens"] == want2
+    finally:
+        enc.unpersist()

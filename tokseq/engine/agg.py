@@ -455,15 +455,49 @@ def agg_tokens(
     )
 
 
-def count_tokens(encoded_df: DataFrame) -> DataFrame:
+def count_tokens(
+    encoded_df: DataFrame,
+    token_range: tuple[int | None, int | None] | None = None,
+) -> DataFrame:
     """Token count WITHOUT reading payload bytes: three manifest-shaped
     columns leave the parquet scan (ReadSchema shows no `payload`),
     deduped on the chunk key (at-least-once appends), then summed.
     When an EncodeJob store is at hand, its chunk manifest is already
     deduped — EncodeJob.count_tokens() reads that and skips the
-    dedup exchange entirely."""
-    return (
-        encoded_df.select("doc_id", "chunk_idx", "n_values")
+    dedup exchange entirely.
+
+    With ``token_range=(lo, hi)`` the count covers only tokens in the
+    range, and the zone map splits the work three ways: DISJOINT
+    chunks are pruned at the scan; CONTAINED chunks contribute their
+    stored n_values through the same payload-free manifest-shaped
+    scan as the unranged count; only BOUNDARY chunks (zone straddles
+    a range edge, or inexact pfor/pfor_ef bounds) pay the in-kernel
+    masked count. On a zoned store a range count therefore reads
+    payload bytes for a sliver of the chunks it counts — the
+    compressed-domain analog of answering COUNT from parquet
+    row-group statistics plus a residual scan."""
+    from .lookup import zone_contained_filter, zone_range_filter
+
+    if token_range is None:
+        return (
+            encoded_df.select("doc_id", "chunk_idx", "n_values")
+            .dropDuplicates(["doc_id", "chunk_idx"])
+            .agg(F.sum("n_values").alias("n_tokens"))
+        )
+    lo, hi = token_range
+    cand = encoded_df.filter(zone_range_filter(lo, hi))
+    contained = zone_contained_filter(lo, hi)
+    full = (
+        cand.filter(contained)
+        .select("doc_id", "chunk_idx", "n_values")
         .dropDuplicates(["doc_id", "chunk_idx"])
-        .agg(F.sum("n_values").alias("n_tokens"))
+        .agg(F.sum("n_values").alias("c"))
+    )
+    boundary = (
+        agg_chunks(cand.filter(~contained), token_range=token_range)
+        .dropDuplicates(["doc_id", "chunk_idx"])
+        .agg(F.sum("n_values").alias("c"))
+    )
+    return full.unionAll(boundary).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_tokens")
     )

@@ -58,6 +58,25 @@ def zone_filter(token: int):
     return zone_range_filter(int(token), int(token))
 
 
+def zone_contained_filter(lo: int | None, hi: int | None):
+    """Chunks whose zone PROVES every stored token lies in [lo, hi]:
+    min_val >= lo and min_val + 2^w - 1 <= hi, restricted to codecs
+    whose zone bound is exact (the patched codecs store exceptions
+    wider than bit_width, so containment can never be concluded for
+    them). The complement within zone_range_filter's candidates is
+    the boundary set — the only chunks whose payloads a range COUNT
+    has to read (engine/agg.py count_tokens)."""
+    zone_top = F.col("min_val") + F.expr("shiftleft(1L, bit_width)") - 1
+    cond = (~F.col("codec").isin("pfor", "pfor_ef")) & (
+        F.col("bit_width") < 62
+    )
+    if lo is not None:
+        cond = cond & (F.col("min_val") >= int(lo))
+    if hi is not None:
+        cond = cond & (zone_top <= int(hi))
+    return cond
+
+
 def token_membership(encoded_df, token: int):
     """(doc_id, n_occurrences) of ``token`` across the encoded table:
     zone-prune -> decode only candidate chunks -> count. At 100 TB the

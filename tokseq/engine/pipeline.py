@@ -424,13 +424,21 @@ class EncodeJob:
         enc = self.encoded()
         return gather_slices(enc, probes_df, self.chunk_width)
 
-    def count_tokens(self) -> DataFrame:
+    def count_tokens(
+        self,
+        token_range: tuple[int | None, int | None] | None = None,
+    ) -> DataFrame:
         """Token count from the chunk manifest — already deduped at
-        write time, so no payload read AND no dedup exchange."""
+        write time, so no payload read AND no dedup exchange. With
+        ``token_range`` the count needs the zone columns and boundary
+        payloads, so it runs against the encoded table (still
+        payload-free for zone-contained chunks — agg.count_tokens)."""
+        from .agg import count_tokens
+
+        if token_range is not None:
+            return count_tokens(self.encoded(), token_range)
         self._check_format_marker("read store")
         manifest = self._read_manifest()
         if manifest is not None:
             return manifest.agg(F.sum("n_values").alias("n_tokens"))
-        from .agg import count_tokens
-
         return count_tokens(self.encoded())

@@ -804,6 +804,34 @@ GROUP BY source
 """
 
 
+def q_engine_range_count(spark, sf_dir):
+    """Three-way zone-split RANGE COUNT (engine/agg.py count_tokens):
+    zone-disjoint chunks are pruned at the scan, zone-CONTAINED
+    chunks contribute their stored n_values through a payload-free
+    manifest-shaped scan (pytest asserts the pruned ReadSchema), and
+    only boundary chunks pay the in-kernel masked count — the
+    compressed-domain analog of COUNT from row-group statistics plus
+    a residual scan. DuckDB recomputes the count from raw text."""
+    from .engine.agg import count_tokens
+    from .engine.chunk import plan_chunks
+    from .engine.encode import encode_chunks
+
+    docs = tokenize_documents_md5(spark, sf_dir)
+    enc = encode_chunks(plan_chunks(docs, 4096))
+    return count_tokens(enc, token_range=_AGG_RANGE)
+
+
+ORACLE_RANGE_COUNT = f"""
+WITH toks AS (
+  SELECT ('0x' || substr(md5(unnest(string_split(text, ' ')))
+          , 1, 8))::BIGINT % 50257 AS tok
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM toks WHERE tok BETWEEN {_AGG_RANGE[0]} AND {_AGG_RANGE[1]}
+"""
+
+
 _MASK_VOCAB = 32768  # tokens >= this carry a validity-mask bit
 
 
@@ -933,6 +961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_agg_pushdown": q_engine_agg_pushdown,
     "engine_agg_filtered": q_engine_agg_filtered,
     "engine_agg_masked": q_engine_agg_masked,
+    "engine_range_count": q_engine_range_count,
     "store_token_membership": q_store_token_membership,
 }
 
@@ -969,6 +998,8 @@ ORACLES: dict[str, str] = {
     "engine_agg_filtered": ORACLE_AGG_FILTERED,
     # validity-bitmap-restricted aggregates (vocab-cap mask rule)
     "engine_agg_masked": ORACLE_AGG_MASKED,
+    # three-way zone-split range count (payload-free contained side)
+    "engine_range_count": ORACLE_RANGE_COUNT,
     # same membership oracle through the materialized store roundtrip
     "store_token_membership": ORACLE_TOKEN_MEMBERSHIP,
     # engine_roundtrip / engine_codec_summary: rows-only (binary

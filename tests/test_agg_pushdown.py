@@ -587,3 +587,31 @@ def test_count_tokens_ranged_payload_free_contained_side(spark, tmp_path):
         assert count_tokens(dup, rng2).collect()[0]["n_tokens"] == want2
     finally:
         enc.unpersist()
+
+
+def test_masked_agg_through_materialized_store(spark, tmp_path):
+    """Validity bitmaps must survive the parquet roundtrip: an
+    EncodeJob store written with a vocab cap answers
+    agg_tokens(use_mask=True) identically to the in-memory plan."""
+    from pyspark.sql import functions as F
+
+    from tokseq.datagen import generate_corpus
+    from tokseq.engine import EncodeJob
+
+    vocab = 512
+    docs = spark.createDataFrame(generate_corpus(scale=0.2, seed=31).to_pandas())
+    job = EncodeJob(spark, str(tmp_path / "ms"), chunk_width=256,
+                    n_buckets=4, mask_vocab=vocab)
+    job.run(docs=docs)
+    got = job.agg_tokens(use_mask=True).collect()[0]
+    want = (
+        docs.select(F.explode("tokens").alias("t"))
+        .filter((F.col("t") >= 0) & (F.col("t") < vocab))
+        .agg(
+            F.count("*").alias("n"), F.sum("t").alias("s"),
+            F.min("t").alias("mn"), F.max("t").alias("mx"),
+        )
+        .collect()[0]
+    )
+    assert (got["n_tokens"], got["sum_tokens"], got["min_token"],
+            got["max_token"]) == (want["n"], want["s"], want["mn"], want["mx"])

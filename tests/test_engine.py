@@ -291,3 +291,30 @@ def test_encodejob_requires_exactly_one_target(spark):
         EncodeJob(spark)
     with pytest.raises(ValueError, match="exactly one"):
         EncodeJob(spark, out_dir="/tmp/x", table_prefix="y")
+
+
+def test_catalog_mode_chunk_width_property(spark, corpus_df):
+    """TBLPROPERTIES carry the chunk width too: a catalog-mode reader
+    with no explicit width adopts it; a contradicting explicit width
+    fails loudly (same contract as the path-mode marker)."""
+    import pytest
+
+    prefix = "tokseq_width_test"
+    try:
+        job = EncodeJob(spark, table_prefix=prefix, chunk_width=512, n_buckets=8)
+        job.run(corpus_df)
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {prefix}_encoded").collect()
+        }
+        assert props.get("tokseq.chunk_width") == "512"
+
+        reader = EncodeJob(spark, table_prefix=prefix)
+        reader.encoded()
+        assert reader.chunk_width == 512
+
+        with pytest.raises(RuntimeError, match="chunk_width"):
+            EncodeJob(spark, table_prefix=prefix, chunk_width=4096).encoded()
+    finally:
+        for t in ("encoded", "chunk_manifest", "partition_manifest"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")

@@ -849,7 +849,12 @@ def q_engine_agg_masked(spark, sf_dir):
     from .engine.encode import encode_chunks
 
     docs = tokenize_documents_md5(spark, sf_dir)
-    enc = encode_chunks(plan_chunks(docs, 4096), mask_vocab=_MASK_VOCAB)
+    # quality_threshold=0 pins the mask rule to the vocab cap alone
+    # (the documents table carries no quality today; this keeps the
+    # oracle's WHERE clause the whole story even if it ever does)
+    enc = encode_chunks(
+        plan_chunks(docs, 4096), quality_threshold=0, mask_vocab=_MASK_VOCAB
+    )
     out = agg_tokens(enc, "source", use_mask=True)
     return out.select(
         "source",

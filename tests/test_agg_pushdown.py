@@ -615,3 +615,37 @@ def test_masked_agg_through_materialized_store(spark, tmp_path):
     )
     assert (got["n_tokens"], got["sum_tokens"], got["min_token"],
             got["max_token"]) == (want["n"], want["s"], want["mn"], want["mx"])
+
+
+def test_ranged_ops_one_sided_bounds(spark):
+    """token_range with an unbounded side: (lo, None) and (None, hi)
+    must aggregate/count exactly, through both agg_tokens and the
+    3-way count (zone filters degenerate to one conjunct)."""
+    from pyspark.sql import functions as F
+
+    from tokseq.datagen import generate_corpus
+    from tokseq.engine.agg import agg_tokens, count_tokens
+    from tokseq.engine.chunk import plan_chunks
+    from tokseq.engine.encode import encode_chunks
+
+    docs = spark.createDataFrame(generate_corpus(scale=0.2, seed=5).to_pandas())
+    enc = encode_chunks(plan_chunks(docs, 256)).cache()
+    try:
+        for rng in ((1000, None), (None, 800)):
+            lo = rng[0] if rng[0] is not None else -(10**9)
+            hi = rng[1] if rng[1] is not None else 10**18
+            ref = (
+                docs.select(F.explode("tokens").alias("t"))
+                .filter((F.col("t") >= lo) & (F.col("t") <= hi))
+                .agg(
+                    F.count("*").alias("n"), F.sum("t").alias("s"),
+                    F.min("t").alias("mn"), F.max("t").alias("mx"),
+                )
+                .collect()[0]
+            )
+            got = agg_tokens(enc, token_range=rng).collect()[0]
+            assert (got["n_tokens"], got["sum_tokens"], got["min_token"],
+                    got["max_token"]) == (ref["n"], ref["s"], ref["mn"], ref["mx"]), rng
+            assert count_tokens(enc, rng).collect()[0]["n_tokens"] == ref["n"], rng
+    finally:
+        enc.unpersist()

@@ -2520,10 +2520,19 @@ def q_minimizer_sample(spark, sf_dir):
     window) cannot diverge the compare."""
     wm1 = _MINIMIZER_W - 1
     docs = tokenize_documents_md5(spark, sf_dir)
+    # short-doc guard lives INSIDE the projection (empty hash array ->
+    # nothing explodes) rather than as a row filter: a filter on
+    # size(tokens) gets pushed below the projection with the tokenize
+    # expression INLINED, so the per-word md5 would run twice per doc
+    # (once in the Filter, once in the Project); within one Project,
+    # whole-stage codegen's subexpression elimination computes the
+    # tokenization once. sequence() is also descending for b < a, so
+    # the guard doubles as the empty-sequence protection.
     km_hash = (
+        "if(size(tokens) < 3, array_repeat(cast(0 as bigint), 0), "
         "transform(sequence(0, size(tokens) - 3), i -> cast(conv(substr("
         "md5(concat_ws('_', tokens[i], tokens[i+1], tokens[i+2])), 1, 8), "
-        "16, 10) as bigint))"
+        "16, 10) as bigint)))"
     )
     pick = (
         "filter(transform(hs, (h, i) -> struct(i as pos, h as h)), "
@@ -2532,8 +2541,7 @@ def q_minimizer_sample(spark, sf_dir):
         " + 1)))"
     )
     return (
-        docs.filter(F.size("tokens") >= 3)
-        .select(
+        docs.select(
             F.col("doc_id").cast("int").alias("doc_id"),
             F.expr(km_hash).alias("hs"),
         )

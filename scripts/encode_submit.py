@@ -47,7 +47,11 @@ def main() -> None:
                           "a catalog is configured)")
     ap.add_argument("--table", action="store_true",
                     help="treat --input as a catalog (e.g. Iceberg) table name")
-    ap.add_argument("--chunk-width", type=int, default=4096)
+    ap.add_argument("--chunk-width", type=int, default=None,
+                    help="tokens per chunk (default: the store's "
+                    "persisted width on --resume, else 4096); an "
+                    "explicit value contradicting an existing store "
+                    "fails loudly")
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--verify", action="store_true",

@@ -881,6 +881,34 @@ GROUP BY source
 """
 
 
+def q_store_agg_filtered(spark, sf_dir):
+    """The round-6 headline THROUGH the materialized store: EncodeJob
+    write -> parquet read-back -> agg_tokens(token_range=...), so the
+    zone predicate on (min_val, bit_width) is answered by parquet
+    row-group statistics before payload bytes leave storage — the
+    end-to-end path a user queries, where engine_agg_filtered covers
+    the in-memory plan. Same raw-text oracle: a hash match certifies
+    the pruned, masked, deduped aggregate through the store roundtrip."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .engine import EncodeJob
+
+    docs = tokenize_documents_md5(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"tokseq_store_agg_{tag}_{os.getpid()}_{uuid.uuid4().hex[:8]}",
+    )
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    job = EncodeJob(spark, out_dir, chunk_width=4096)
+    job.run(docs=docs)
+    return job.agg_tokens("source", token_range=_AGG_RANGE)
+
+
 def q_store_token_membership(spark, sf_dir):
     """token_membership (zone-prune + selective decode) against the
     MATERIALIZED encoded store: EncodeJob write -> parquet read-back,
@@ -968,6 +996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_agg_masked": q_engine_agg_masked,
     "engine_range_count": q_engine_range_count,
     "store_token_membership": q_store_token_membership,
+    "store_agg_filtered": q_store_agg_filtered,
 }
 
 ORACLES: dict[str, str] = {
@@ -1007,6 +1036,8 @@ ORACLES: dict[str, str] = {
     "engine_range_count": ORACLE_RANGE_COUNT,
     # same membership oracle through the materialized store roundtrip
     "store_token_membership": ORACLE_TOKEN_MEMBERSHIP,
+    # the zone-pruned range aggregate through the store roundtrip
+    "store_agg_filtered": ORACLE_AGG_FILTERED,
     # engine_roundtrip / engine_codec_summary: rows-only (binary
     # codecs; the codec MIX is engine-specific by design)
 }

@@ -349,6 +349,32 @@ def test_hypothesis_agg_kernel_matches_reference(shapes, seed):
                 assert vmin[i] == int(sel.min()), (i, out["codec"][i])
                 assert vmax[i] == int(sel.max()), (i, out["codec"][i])
 
+        # and with random validity masks layered on the same range —
+        # every (codec, mask-presence, boundary/full) combination the
+        # shapes generate goes through the combined kernel
+        from tokseq.validity import pack_mask, unpack_mask
+
+        mrng = np.random.default_rng(seed ^ 0x5EED)
+        masks = []
+        for c in chunks:
+            roll = mrng.random()
+            if roll < 0.4 or len(c) == 0:
+                masks.append(None)
+            else:
+                masks.append(pack_mask(mrng.random(len(c)) < 0.35))
+        cnts, sums, vmin, vmax = agg_batch_kernel(
+            out["payload"], out["codec"], out["bit_width"], out["min_val"],
+            out["n_values"], lo=rlo, hi=rhi, masks=masks,
+        )
+        for i, c in enumerate(chunks):
+            keep = c if masks[i] is None else c[~unpack_mask(masks[i], len(c))]
+            keep = keep[(keep >= rlo) & (keep <= rhi)]
+            assert cnts[i] == len(keep), (i, out["codec"][i])
+            assert sums[i] == int(keep.sum()), (i, out["codec"][i])
+            if len(keep):
+                assert vmin[i] == int(keep.min()), (i, out["codec"][i])
+                assert vmax[i] == int(keep.max()), (i, out["codec"][i])
+
 
 def test_agg_kernel_validity_mask():
     """use_mask semantics: aggregates cover only positions whose

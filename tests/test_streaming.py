@@ -134,3 +134,19 @@ def test_agg_pushdown_over_streamed_store(spark, tmp_path):
     assert (got["n_tokens"], got["sum_tokens"], got["min_token"],
             got["max_token"]) == (want["n"], want["s"], want["mn"], want["mx"])
     assert count_tokens(enc).collect()[0]["n_tokens"] == want["n"]
+
+    # round-6 predicate path over the same double-written store: the
+    # zone-pruned range aggregate and the 3-way range count must also
+    # dedup the replayed chunks
+    rng = (100, 40_000)
+    rwant = docs.select(F.explode("tokens").alias("t")).filter(
+        (F.col("t") >= rng[0]) & (F.col("t") <= rng[1])
+    ).agg(
+        F.count("*").alias("n"), F.sum("t").alias("s"),
+        F.min("t").alias("mn"), F.max("t").alias("mx"),
+    ).collect()[0]
+    rgot = agg_tokens(enc, token_range=rng).collect()[0]
+    assert (rgot["n_tokens"], rgot["sum_tokens"], rgot["min_token"],
+            rgot["max_token"]) == (rwant["n"], rwant["s"], rwant["mn"],
+                                   rwant["mx"])
+    assert count_tokens(enc, rng).collect()[0]["n_tokens"] == rwant["n"]

@@ -441,17 +441,30 @@ def agg_tokens(
     deduped on (doc_id, chunk_idx) AFTER the kernel — the dedup
     exchange carries ~56-byte summary rows, never payloads or decoded
     tokens."""
-    per_chunk = agg_chunks(encoded_df, token_range, use_mask).dropDuplicates(
-        ["doc_id", "chunk_idx"]
-    )
+    # full-row distinct == the keyed dedup here: duplicate chunks have
+    # byte-identical payloads (chunk determinism), so their summary rows
+    # are identical too — and a keyless distinct plans as a map-side-
+    # combining HashAggregate, where dropDuplicates(keys) needs first()
+    # over the string column and degrades to Sort + SortAggregate on
+    # both sides of the exchange (measured: 2 sorts + sort-aggs removed)
+    per_chunk = agg_chunks(encoded_df, token_range, use_mask).dropDuplicates()
     grouped = (
         per_chunk.groupBy(*group_cols) if group_cols else per_chunk.groupBy()
     )
-    return grouped.agg(
+    agged = grouped.agg(
         F.sum("n_values").alias("n_tokens"),
         F.sum("sum_val").alias("sum_tokens"),
         F.min("min_val").alias("min_token"),
         F.max("max_val").alias("max_token"),
+    )
+    if group_cols:
+        return agged
+    # ungrouped: match SQL global-aggregate semantics when nothing
+    # passes the range/mask (COUNT(*) = 0, SUM = NULL) instead of a
+    # NULL count (ADVICE r6 #3; the count_tokens path already did)
+    return agged.select(
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        "sum_tokens", "min_token", "max_token",
     )
 
 
@@ -478,10 +491,14 @@ def count_tokens(
     row-group statistics plus a residual scan."""
     from .lookup import zone_contained_filter, zone_range_filter
 
+    # keyless distincts below: equivalent to the keyed dedup because
+    # the projected columns are all chunk-deterministic (duplicate
+    # chunk rows are identical), and distinct partial-aggregates
+    # map-side without first() buffers (see agg_tokens)
     if token_range is None:
         return (
             encoded_df.select("doc_id", "chunk_idx", "n_values")
-            .dropDuplicates(["doc_id", "chunk_idx"])
+            .dropDuplicates()
             .agg(F.sum("n_values").alias("n_tokens"))
         )
     lo, hi = token_range
@@ -490,12 +507,12 @@ def count_tokens(
     full = (
         cand.filter(contained)
         .select("doc_id", "chunk_idx", "n_values")
-        .dropDuplicates(["doc_id", "chunk_idx"])
+        .dropDuplicates()
         .agg(F.sum("n_values").alias("c"))
     )
     boundary = (
         agg_chunks(cand.filter(~contained), token_range=token_range)
-        .dropDuplicates(["doc_id", "chunk_idx"])
+        .dropDuplicates()
         .agg(F.sum("n_values").alias("c"))
     )
     return full.unionAll(boundary).agg(

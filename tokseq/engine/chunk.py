@@ -74,19 +74,56 @@ def plan_chunks(
 ) -> DataFrame:
     """Hybrid plan: (doc_id, source, chunk_idx, chunk_tokens) rows where
     normal docs carry chunk_idx=0 and their full token array (kernel
-    re-chunks), big docs are pre-exploded into W-sized rows."""
-    threshold = int(chunk_width) * int(big_factor)
-    cols = [
+    re-chunks), big docs are pre-exploded into W-sized rows.
+
+    SINGLE-SCAN shape (r7): one conditional posexplode — small docs
+    explode a one-element array (pos 0, the whole token array), big
+    docs the W-sized slice list. The previous two-branch union read the
+    input twice, and each branch's pushed-down ``n_tok`` filter
+    re-evaluated the upstream tokenize expression per row before the
+    projection evaluated it again — the per-word hash ran up to 4x per
+    doc. Rows are identical (order aside); the tokenize projection now
+    runs exactly once per doc."""
+    w = int(chunk_width)
+    threshold = w * int(big_factor)
+    small = F.col("n_tok") <= threshold
+    n_chunks = F.greatest(F.ceil(F.col("n_tok") / F.lit(w)).cast("int"), F.lit(1))
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    if "quality" in df.columns:
+        zipped = F.when(
+            small,
+            F.array(
+                F.struct(
+                    F.col("tokens").alias("t"), F.col("quality").alias("q")
+                )
+            ),
+        ).otherwise(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.slice(F.col("tokens"), i * w + 1, w).alias("t"),
+                    F.slice(F.col("quality"), i * w + 1, w).alias("q"),
+                ),
+            )
+        )
+        ex = df.select(
+            "doc_id", "source", F.posexplode(zipped).alias("chunk_idx", "z")
+        )
+        return ex.select(
+            "doc_id",
+            "source",
+            "chunk_idx",
+            F.col("z.t").alias("chunk_tokens"),
+            F.col("z.q").alias("chunk_quality"),
+        )
+    slices = F.when(small, F.array(F.col("tokens"))).otherwise(
+        F.transform(idx, lambda i: F.slice(F.col("tokens"), i * w + 1, w))
+    )
+    return df.select(
         "doc_id",
         "source",
-        F.lit(0).alias("chunk_idx"),
-        F.col("tokens").alias("chunk_tokens"),
-    ]
-    if "quality" in df.columns:
-        cols.append(F.col("quality").alias("chunk_quality"))
-    small = df.filter(F.col("n_tok") <= threshold).select(*cols)
-    big = chunk_docs(df.filter(F.col("n_tok") > threshold), chunk_width)
-    return small.unionByName(big)
+        F.posexplode(slices).alias("chunk_idx", "chunk_tokens"),
+    )
 
 
 def repartition_chunks(chunks: DataFrame, num_partitions: int) -> DataFrame:

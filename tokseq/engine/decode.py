@@ -23,6 +23,15 @@ from ..codecs import get_codec, unpack_bits_le, unpack_bits_u8
 DECODED_SCHEMA = "doc_id string, chunk_idx int, chunk_tokens array<int>"
 DECODED_MASK_SCHEMA = DECODED_SCHEMA + ", mask binary"
 
+# the chunk-deterministic columns a decode needs; duplicate chunk rows
+# (at-least-once appends) are IDENTICAL on exactly these columns, so a
+# keyless distinct over this projection equals a (doc_id, chunk_idx)
+# dedup — consumers rely on that for cheap map-side dedup plans
+DECODE_COLS = [
+    "doc_id", "chunk_idx", "codec", "bit_width", "n_values", "min_val",
+    "payload",
+]
+
 _DECODED_PA_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
@@ -452,7 +461,7 @@ def decode_chunks(encoded_df: DataFrame, with_mask: bool = False) -> DataFrame:
     PackedNSeq pairing) through unchanged; decode it per chunk with
     ``tokseq.validity.unpack_mask(mask, len(chunk_tokens))`` (null =
     all positions valid)."""
-    cols = ["doc_id", "chunk_idx", "codec", "bit_width", "n_values", "min_val", "payload"]
+    cols = list(DECODE_COLS)
     if with_mask:
         cols.append("mask")
     return encoded_df.select(*cols).mapInArrow(
@@ -758,10 +767,8 @@ def decode_docs(encoded_df: DataFrame, on_giant: str = "split") -> DataFrame:
     pathological doc. ``on_giant='error'`` keeps the r3 loud-raise
     contract for pipelines that require doc_id uniqueness."""
     strict = _strict_of(on_giant)
-    cols = ["doc_id", "chunk_idx", "codec", "bit_width", "n_values",
-            "min_val", "payload"]
     rep = (
-        encoded_df.select(*cols)
+        encoded_df.select(*DECODE_COLS)
         .repartition("doc_id")
         .sortWithinPartitions("doc_id", "chunk_idx")
     )

@@ -42,12 +42,14 @@ def zone_range_filter(lo: int | None, hi: int | None):
         cond = cond & (
             (F.lit(int(lo)) <= zone_top)
             | F.col("codec").isin("pfor", "pfor_ef")
-            # Spark masks shift counts to 6 bits, so shiftleft(1L, 64)
-            # == 1L and the top bound would collapse to min_val: treat
-            # width >= 64 as unbounded (unreachable under the int32
-            # token contract, but sound if the engine ever carries
-            # 64-bit values)
-            | (F.col("bit_width") >= 64)
+            # Spark masks shift counts to 6 bits (shiftleft(1L, 64) ==
+            # 1L), and shiftleft(1L, 63) overflows to Long.MIN_VALUE —
+            # either would collapse/negate the top bound: treat width
+            # >= 62 as unbounded, matching agg_batch_kernel's
+            # `widths_arr < 62` exact-zone classification (ADVICE r6
+            # #1; unreachable under the int32 token contract, but
+            # sound if the engine ever carries 64-bit values)
+            | (F.col("bit_width") >= 62)
         )
     return cond
 
@@ -83,10 +85,18 @@ def token_membership(encoded_df, token: int):
     zone predicate reaches the parquet scan (min_val/bit_width are
     plain columns with row-group stats), so cold chunks never leave
     storage; random-token corpora degrade gracefully to a full decode."""
-    from .decode import decode_chunks
+    from .decode import DECODE_COLS, decode_chunks
 
-    cand = encoded_df.filter(zone_filter(token)).dropDuplicates(
-        ["doc_id", "chunk_idx"]
+    # project the chunk-deterministic decode columns BEFORE deduping:
+    # full-row distinct on them equals the keyed dedup (duplicate
+    # chunks are byte-identical) but plans as a map-side-combining
+    # HashAggregate instead of first(payload)'s Sort + SortAggregate
+    # pair — and columns like part_id (which DOES differ between
+    # duplicate appends) never enter the dedup
+    cand = (
+        encoded_df.filter(zone_filter(token))
+        .select(*DECODE_COLS)
+        .dropDuplicates()
     )
     dec = decode_chunks(cand)
     return (
@@ -134,7 +144,7 @@ def gather_slices(
     the same gap contract point_lookup enforces.
 
     Returns (probe_id, doc_id, pos, k, tokens array<int>)."""
-    from .decode import decode_chunks
+    from .decode import DECODE_COLS, decode_chunks
 
     W = chunk_width
     neg_err = F.concat(
@@ -166,15 +176,39 @@ def gather_slices(
     # for a handful of probes
     keys = pr.select("doc_id", "chunk_idx").distinct()
     if broadcast_threshold and broadcast_threshold > 0:
-        # bounded count: limit(threshold+1) caps the probe-side work at
-        # threshold+1 rows no matter how large the probe table is
-        n_probe = probes_df.limit(broadcast_threshold + 1).count()
-        if n_probe <= broadcast_threshold:
+        # bounded probe: limit(threshold+1) caps the probe-side work at
+        # threshold+1 rows no matter how large the probe table is. The
+        # broadcast decision bounds the EXPANDED key count, not probe
+        # rows (ADVICE r6 #2): a probe with a wide slice touches
+        # ~ceil(k/W)+1 chunk keys, and F.broadcast bypasses Spark's
+        # size safeguards, so wide-k probe sets must not sneak a huge
+        # key set past the row-count check. NOTE: this is an eager
+        # count job at plan-construction time (the price of choosing
+        # the store-never-shuffles plan); pass broadcast_threshold=0
+        # for a fully lazy API.
+        sample = (
+            probes_df.limit(broadcast_threshold + 1)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.ceil(F.greatest(F.col("k"), F.lit(1)) / W) + 1
+                ).alias("keys_ub"),
+            )
+            .collect()[0]
+        )
+        if sample["n"] <= broadcast_threshold and (
+            sample["keys_ub"] or 0
+        ) <= 2 * broadcast_threshold:
             keys = F.broadcast(keys)
+    # project the chunk-deterministic decode columns BEFORE the join +
+    # dedup: the at-least-once dedup becomes a keyless distinct (map-
+    # side-combining HashAggregate instead of first(payload)'s
+    # Sort + SortAggregate), and non-deterministic-across-duplicates
+    # columns (part_id) never enter it
     touched = (
         keys
-        .join(encoded_df, ["doc_id", "chunk_idx"])
-        .dropDuplicates(["doc_id", "chunk_idx"])
+        .join(encoded_df.select(*DECODE_COLS), ["doc_id", "chunk_idx"])
+        .dropDuplicates()
     )
     dec = decode_chunks(touched)
     hit = pr.join(dec, ["doc_id", "chunk_idx"])

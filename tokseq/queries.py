@@ -35,14 +35,20 @@ def q_e3_kmer_pack(spark, sf_dir):
     /root/reference/src/packed_seq.rs:217-232) over a lagged event
     stream (P2 delayed iteration)."""
     ev = _t(spark, sf_dir, "events")
+    # project the 2-bit code BEFORE the window: the exchange then
+    # carries a 4-byte int instead of the event_type string, and the
+    # post-window projection reuses the attribute instead of
+    # re-evaluating length()%4 (guide §2.3 "project before the
+    # exchange"; result-identical)
+    cd = (F.length("event_type") % 4).alias("cd")
+    ev2 = ev.select("event_id", "user_id", "ts", cd)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cd = F.length("event_type") % 4
     kmer = (
-        cd
-        + F.coalesce(F.lag(cd, 1).over(w), F.lit(0)) * 4
-        + F.coalesce(F.lag(cd, 2).over(w), F.lit(0)) * 16
+        F.col("cd")
+        + F.coalesce(F.lag("cd", 1).over(w), F.lit(0)) * 4
+        + F.coalesce(F.lag("cd", 2).over(w), F.lit(0)) * 16
     )
-    return ev.select("event_id", kmer.cast("long").alias("kmer"))
+    return ev2.select("event_id", kmer.cast("long").alias("kmer"))
 
 
 ORACLE_E3 = """
@@ -210,11 +216,16 @@ def q_p2_lagged_delta(spark, sf_dir):
     """P2/P3 delayed streams: value minus the value Delay(3) behind in
     the same partition (/root/reference/src/packed_seq.rs:753-893)."""
     ev = _t(spark, sf_dir, "events")
+    # pre-projected cents: the exchange carries one long instead of the
+    # double + re-evaluated round() (same shape as q_e3_kmer_pack)
+    cents = F.round(F.col("value") * 100).cast("long").alias("cents")
+    ev2 = ev.select("event_id", "user_id", "ts", cents)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cents = F.round(F.col("value") * 100).cast("long")
-    return ev.select(
+    return ev2.select(
         "event_id",
-        (cents - F.coalesce(F.lag(cents, 3).over(w), F.lit(0))).alias("delta3"),
+        (
+            F.col("cents") - F.coalesce(F.lag("cents", 3).over(w), F.lit(0))
+        ).alias("delta3"),
     )
 
 
@@ -356,11 +367,21 @@ def q_selector_costmodel(spark, sf_dir):
     argmin over bitpack/for/rle/dict estimated bit costs."""
     li = _t(spark, sf_dir, "lineitem")
     v = F.col("l_quantity").cast("int")
+    # alias the group key BEFORE the window: renaming l_orderkey -> k
+    # after the window drops the exchange's partitioning attribute from
+    # the plan (UnknownPartitioning), so the two downstream aggregates
+    # each re-shuffled — with k established below the window, the
+    # single window exchange satisfies both of them (measured: 3
+    # Exchanges -> 1; result-identical)
     # l_linenumber is not unique in this synthetic table; add v as a
     # tiebreaker for a deterministic total order
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", v)
-    boundary = F.when(v == F.lag(v, 1).over(w), 0).otherwise(1)
-    base = li.select(F.col("l_orderkey").alias("k"), v.alias("v"), boundary.alias("b"))
+    pre = li.select(
+        F.col("l_orderkey").alias("k"), v.alias("v"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    w = Window.partitionBy("k").orderBy("ln", "v")
+    boundary = F.when(F.col("v") == F.lag("v", 1).over(w), 0).otherwise(1)
+    base = pre.select("k", "v", boundary.alias("b"))
     st = base.groupBy("k").agg(
         F.count("*").alias("n"),
         F.min("v").alias("vmin"),
@@ -487,10 +508,14 @@ def tokenize_documents(spark, sf_dir):
         F.split(F.col("text"), " "),
         lambda w: F.pmod(F.xxhash64(w), F.lit(50257)).cast("int"),
     )
+    # n_tok from the split alone: transform() preserves length, and
+    # size(toks) would re-run the per-word hash a second time per row
+    # (HOFs codegen-fall-back, so subexpression elimination does not
+    # dedupe the two instances)
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         toks.alias("tokens"),
-        F.size(toks).cast("int").alias("n_tok"),
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
         F.col("source").alias("source"),
     )
 
@@ -507,10 +532,12 @@ def tokenize_documents_md5(spark, sf_dir):
             F.conv(F.md5(w).substr(1, 8), 16, 10).cast("long") % F.lit(50257)
         ).cast("int"),
     )
+    # n_tok from the split alone — size(toks) would re-run the per-word
+    # md5 a second time per row (see tokenize_documents)
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         toks.alias("tokens"),
-        F.size(toks).cast("int").alias("n_tok"),
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
         F.col("source").alias("source"),
     )
 

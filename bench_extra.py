@@ -224,6 +224,33 @@ def cmd_encode_stages(cores):
     spark.stop()
 
 
+def cmd_write(cores=32):
+    """Time EncodeJob.run (the encode_write bench step) and its phases."""
+    import shutil
+    import tempfile
+
+    from tokseq.engine import EncodeJob, get_spark
+    from tokseq.engine.scan import encode_parquet_summary
+
+    corpus = "/tmp/tokseq_bench/corpus_v2_s120_seed42.parquet"
+    spark = get_spark(cores=cores, app_name=f"tokseq-write-{cores}")
+    spark.sparkContext.setLogLevel("ERROR")
+    encode_parquet_summary(spark, corpus, 4096, max_splits=cores).count()
+    walls = []
+    for _ in range(3):
+        out_dir = tempfile.mkdtemp(prefix="tokseq_bx_write_")
+        try:
+            job = EncodeJob(spark, out_dir, chunk_width=4096, n_buckets=64)
+            t0 = time.time()
+            job.run(corpus_path=corpus)
+            walls.append(round(time.time() - t0, 3))
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    print(f"encode_write best {min(walls)}  reps {walls}")
+    spark.stop()
+
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "plans"
     if cmd == "plans":
@@ -234,5 +261,7 @@ if __name__ == "__main__":
         cmd_queries(sys.argv[2:])
     elif cmd == "encode-stages":
         cmd_encode_stages(int(sys.argv[2]))
+    elif cmd == "write":
+        cmd_write(int(sys.argv[2]) if len(sys.argv) > 2 else CPUS)
     else:
         raise SystemExit(f"unknown subcommand {cmd}")

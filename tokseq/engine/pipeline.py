@@ -307,10 +307,22 @@ class EncodeJob:
         # n_buckets files (task_count x buckets tiny files); one
         # shuffle keyed on bucket gives ~1 file per output partition,
         # and bucket-range pruning still works off parquet column
-        # stats (each file holds a narrow bucket range)
-        out = encoded.repartition(self.num_partitions, "bucket").sortWithinPartitions(
-            "bucket"
+        # stats (each file holds a narrow bucket range).
+        # The shuffle key is a FINER doc hash (16x n_buckets) that
+        # still determines bucket ((x mod 16B) mod B == x mod B): with
+        # n_buckets ~= 2x tasks, hashing the raw bucket value lands
+        # 2-5 buckets on some tasks and 0 on others (balls-in-bins on
+        # ~2 keys/task — guide §2.5 "too few distinct key values"),
+        # and the biggest write task straggles the whole stage; ~16
+        # subbuckets per task keeps the spread near-uniform while a
+        # doc's chunks still colocate and files still cluster by
+        # bucket after the sort
+        subbucket = F.pmod(
+            F.xxhash64(F.col("doc_id")), F.lit(int(self.n_buckets) * 16)
         )
+        out = encoded.repartition(
+            self.num_partitions, subbucket
+        ).sortWithinPartitions("bucket")
         # payloads are already entropy-coded; snappy on top costs CPU
         # for ~no size win
         if self.table_prefix is not None:
@@ -330,6 +342,11 @@ class EncodeJob:
         # at-least-once; resume counts depend on exact chunk counts).
         # project BEFORE deduping so the payload column never enters
         # the dedup shuffle (column pruning keeps the re-read cheap).
+        # The partition manifest and the job totals then derive from
+        # the WRITTEN chunk manifest (a tiny table) instead of each
+        # re-scanning + re-deduping the encoded store — the store is
+        # scanned once after the write, not three times (r7; rows are
+        # identical, the manifest IS the deduped projection)
         enc = enc_src.select(*CHUNK_MANIFEST_COLS).dropDuplicates(
             ["doc_id", "chunk_idx"]
         )
@@ -337,18 +354,20 @@ class EncodeJob:
             chunk_manifest(enc).write.mode("overwrite").saveAsTable(
                 self._tbl("chunk_manifest")
             )
-            partition_manifest(enc).write.mode("overwrite").saveAsTable(
+            mf = self.spark.read.table(self._tbl("chunk_manifest"))
+            partition_manifest(mf).write.mode("overwrite").saveAsTable(
                 self._tbl("partition_manifest")
             )
         else:
             chunk_manifest(enc).write.mode("overwrite").parquet(
                 self.chunk_manifest_path
             )
-            partition_manifest(enc).write.mode("overwrite").parquet(
+            mf = self.spark.read.parquet(self.chunk_manifest_path)
+            partition_manifest(mf).write.mode("overwrite").parquet(
                 self.partition_manifest_path
             )
 
-        totals = enc.agg(
+        totals = mf.agg(
             F.count("*").alias("c"),
             F.sum("n_values").alias("v"),
             F.sum("in_bytes").alias("i"),

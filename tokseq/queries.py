@@ -502,11 +502,39 @@ FROM documents
 # Rows-only engine queries (binary codecs; not SQL-expressible)
 # ---------------------------------------------------------------------------
 
-def tokenize_documents(spark, sf_dir):
+def _spread_small_input(spark, docs, mode):
+    """Round-robin a small, under-partitioned input across the cluster
+    (guide §2.5 "input skew: one huge unsplittable file ... repartition
+    immediately after the read"): the test-SF documents table is ONE
+    parquet file with ONE row group, so Spark's byte-range splitting
+    leaves a single non-empty partition and everything upstream of the
+    first shuffle runs on one core. Decision uses the plan's
+    stats-estimated size (~10 ms of analysis; ``df.rdd`` costs ~0.3 s
+    per fresh DataFrame and was rejected) with an 8 MB/core threshold —
+    an at-scale multi-file corpus never trips it, so the production
+    plan is untouched. ``mode="kernel"`` targets ~64 KB of compressed
+    input per task instead of full fan-out: the encode kernel's batch
+    amortization (shared fsst tables, grouped packs) collapses on tiny
+    Arrow batches, and the measured sweet spot is ~300k tokens/task
+    (p=8 at sf0.1: 0.81 -> 0.67 s; p=32: 1.08 s)."""
+    p = spark.sparkContext.defaultParallelism
+    size = int(
+        docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if size >= p * 8 * 1024 * 1024:
+        return docs
+    n = min(p, max(2, size // (64 * 1024))) if mode == "kernel" else p
+    return docs.repartition(n)
+
+
+def tokenize_documents(spark, sf_dir, spread=False):
     """Deterministic fake tokenization of the documents table:
     whitespace split, word -> pmod(xxhash64(word), 50257). Gives the
-    engine a token corpus derived from driver data."""
+    engine a token corpus derived from driver data. ``spread`` as in
+    :func:`tokenize_documents_md5`."""
     docs = _t(spark, sf_dir, "documents")
+    if spread:
+        docs = _spread_small_input(spark, docs, spread)
     toks = F.transform(
         F.split(F.col("text"), " "),
         lambda w: F.pmod(F.xxhash64(w), F.lit(50257)).cast("int"),
@@ -529,31 +557,15 @@ def tokenize_documents_md5(spark, sf_dir, spread: bool = False):
     the engine's encode→decode output can be aggregated and checked
     against a DuckDB oracle computed from the raw text.
 
-    ``spread=True`` round-robins the RAW document rows across the
-    cluster when the file layout yields fewer scan partitions than
-    cores (guide §2.5 "input skew: one huge unsplittable file ...
-    repartition immediately after the read"): the test-SF documents
-    table is ONE small parquet with ONE row group, so everything
-    upstream of the first shuffle — including the per-word md5 — runs
-    on a single core without it. A no-op at scale (many files → the
-    condition never fires). Off by default: consumers that feed the
-    ENCODE kernel measured SLOWER with it (32x smaller Arrow batches
-    collapse the kernel's batch amortization — fsst shared tables
-    re-learned per tiny batch), so only pure-JVM consumers
-    (minimizer_sample) opt in."""
+    ``spread=True`` round-robins the RAW document rows across the full
+    cluster when the input is small and under-partitioned (right for
+    pure-JVM consumers like minimizer_sample); ``spread="kernel"``
+    fans out only to ~64 KB of input per task, preserving the encode
+    kernel's batch amortization (see :func:`_spread_small_input`).
+    A no-op at scale either way."""
     docs = _t(spark, sf_dir, "documents")
     if spread:
-        p = spark.sparkContext.defaultParallelism
-        # stats-based (file-size) probe: ~10ms of plan analysis, no
-        # RDD conversion (df.rdd costs ~0.3s per fresh DataFrame and
-        # would eat the win inside a timed query). 8MB/core threshold:
-        # below it the round-robin shuffle is trivially cheap and the
-        # scan cannot have produced enough real partitions anyway
-        size = int(
-            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        if size < p * 8 * 1024 * 1024:
-            docs = docs.repartition(p)
+        docs = _spread_small_input(spark, docs, spread)
     toks = F.transform(
         F.split(F.col("text"), " "),
         lambda w: (
@@ -588,7 +600,7 @@ def q_engine_roundtrip_agg(spark, sf_dir):
     from .engine.decode import decode_docs
     from .engine.encode import encode_chunks
 
-    docs = tokenize_documents_md5(spark, sf_dir)
+    docs = tokenize_documents_md5(spark, sf_dir, spread="kernel")
     dec = decode_docs(encode_chunks(plan_chunks(docs, 4096)))
     per_doc = dec.select(
         "doc_id",
@@ -641,7 +653,7 @@ def q_token_membership(spark, sf_dir):
     from .engine.encode import encode_chunks
     from .engine.lookup import token_membership
 
-    docs = tokenize_documents_md5(spark, sf_dir)
+    docs = tokenize_documents_md5(spark, sf_dir, spread="kernel")
     enc = encode_chunks(plan_chunks(docs, 4096))
     out = token_membership(enc, _PROBE_TOKEN)
     # the engine keys docs by string ids (its input contract); the
@@ -673,7 +685,7 @@ def q_engine_roundtrip(spark, sf_dir):
     from .engine.encode import encode_chunks
     from .engine.verify import roundtrip_report
 
-    docs = tokenize_documents(spark, sf_dir).cache()
+    docs = tokenize_documents(spark, sf_dir, spread="kernel").cache()
     enc = encode_chunks(plan_chunks(docs, 4096))
     back = decode_docs(enc)
     rep = roundtrip_report(docs.select("doc_id", "tokens"), back)
@@ -697,7 +709,7 @@ def q_engine_codec_summary(spark, sf_dir):
     from .engine.encode import encode_chunks
     from .engine.manifest import codec_summary
 
-    docs = tokenize_documents(spark, sf_dir)
+    docs = tokenize_documents(spark, sf_dir, spread="kernel")
     enc = encode_chunks(plan_chunks(docs, 4096))
     return codec_summary(enc)
 
@@ -718,7 +730,7 @@ def q_engine_summary_invariants(spark, sf_dir):
     from .engine.encode import encode_chunks
     from .engine.manifest import codec_summary
 
-    docs = tokenize_documents_md5(spark, sf_dir)
+    docs = tokenize_documents_md5(spark, sf_dir, spread="kernel")
     enc = encode_chunks(plan_chunks(docs, 4096))
     s = codec_summary(enc)
     return s.agg(
@@ -770,7 +782,7 @@ def q_engine_floor_totals(spark, sf_dir):
     from .engine.chunk import plan_chunks
     from .engine.encode import encode_chunks
 
-    docs = tokenize_documents_md5(spark, sf_dir)
+    docs = tokenize_documents_md5(spark, sf_dir, spread="kernel")
     enc = encode_chunks(plan_chunks(docs, 4096))
     return enc.groupBy("source").agg(
         F.count("*").cast("long").alias("n_chunks"),
@@ -796,7 +808,7 @@ def q_engine_agg_pushdown(spark, sf_dir):
     from .engine.chunk import plan_chunks
     from .engine.encode import encode_chunks
 
-    docs = tokenize_documents_md5(spark, sf_dir)
+    docs = tokenize_documents_md5(spark, sf_dir, spread="kernel")
     enc = encode_chunks(plan_chunks(docs, 4096))
     return agg_tokens(enc, "source")
 
@@ -838,7 +850,7 @@ def q_engine_agg_filtered(spark, sf_dir):
     from .engine.chunk import plan_chunks
     from .engine.encode import encode_chunks
 
-    docs = tokenize_documents_md5(spark, sf_dir)
+    docs = tokenize_documents_md5(spark, sf_dir, spread="kernel")
     enc = encode_chunks(plan_chunks(docs, 4096))
     return agg_tokens(enc, "source", token_range=_AGG_RANGE)
 
@@ -871,7 +883,7 @@ def q_engine_range_count(spark, sf_dir):
     from .engine.chunk import plan_chunks
     from .engine.encode import encode_chunks
 
-    docs = tokenize_documents_md5(spark, sf_dir)
+    docs = tokenize_documents_md5(spark, sf_dir, spread="kernel")
     enc = encode_chunks(plan_chunks(docs, 4096))
     return count_tokens(enc, token_range=_AGG_RANGE)
 
@@ -903,7 +915,7 @@ def q_engine_agg_masked(spark, sf_dir):
     from .engine.chunk import plan_chunks
     from .engine.encode import encode_chunks
 
-    docs = tokenize_documents_md5(spark, sf_dir)
+    docs = tokenize_documents_md5(spark, sf_dir, spread="kernel")
     # quality_threshold=0 pins the mask rule to the vocab cap alone
     # (the documents table carries no quality today; this keeps the
     # oracle's WHERE clause the whole story even if it ever does)
@@ -952,7 +964,7 @@ def q_store_agg_filtered(spark, sf_dir):
 
     from .engine import EncodeJob
 
-    docs = tokenize_documents_md5(spark, sf_dir)
+    docs = tokenize_documents_md5(spark, sf_dir, spread="kernel")
     tag = os.path.basename(os.path.normpath(sf_dir))
     out_dir = os.path.join(
         tempfile.gettempdir(),
@@ -981,7 +993,7 @@ def q_store_token_membership(spark, sf_dir):
     from .engine import EncodeJob
     from .engine.lookup import token_membership
 
-    docs = tokenize_documents_md5(spark, sf_dir)
+    docs = tokenize_documents_md5(spark, sf_dir, spread="kernel")
     tag = os.path.basename(os.path.normpath(sf_dir))
     # pid+uuid in the path: concurrent driver/bench processes on one
     # host must not overwrite each other's store mid-query. Cleanup at

@@ -260,9 +260,38 @@ def unpack_bits_u8(buf: bytes, n: int) -> np.ndarray:
     return out[:n]
 
 
+# cache-blocked _unpack_double for HUGE calls only: the level splits
+# allocate 2x-width intermediates and write them with stride-2 stores —
+# DRAM-bound once the working set leaves cache. Whole-store row-group
+# decodes gather millions of same-width fields into one call, where the
+# unblocked splits measured 2-33x slower than looping cache-resident
+# 256K-field blocks (n=34M: w=9 7.6s -> 0.23s, w=13 1.23s -> 0.23s,
+# w=17 0.58s -> 0.27s). The threshold stays high because at the
+# corpus-batch sizes the engine usually sees (<= ~1M fields per width
+# group) the old single-shot path is equal-or-faster (measured 0.93 vs
+# 1.09 s on the 2048-row-group corpus with an always-block variant).
+# Both constants are multiples of 8 fields so blocks start byte-aligned.
+_UNPACK_BLOCK_THRESHOLD = 1 << 21
+_UNPACK_BLOCK_FIELDS = 1 << 18
+
+
 def _unpack_double(buf: bytes, width: int, n: int) -> np.ndarray:
     """Inverse of _pack_double: unpack at the doubled width, then split
-    each fused field back into its lane pair, level by level."""
+    each fused field back into its lane pair, level by level.
+    Cache-blocked for huge n (see _UNPACK_BLOCK_THRESHOLD)."""
+    if n > _UNPACK_BLOCK_THRESHOLD:
+        n0 = _UNPACK_BLOCK_FIELDS  # multiple of 8: pos*width/8 exact
+        out = np.empty(n, dtype=np.uint64)
+        mv = memoryview(buf)
+        pos = 0
+        while pos < n:
+            k = min(n0, n - pos)
+            start = pos * width // 8
+            out[pos : pos + k] = _unpack_double(
+                mv[start : packed_size(pos + k, width)], width, k
+            )
+            pos += k
+        return out
     levels = 0
     w = width
     while w <= 32:
